@@ -1,0 +1,39 @@
+"""Config system: hp dicts with the reference's key names.
+
+The reference configures every experiment through a plain ``hp`` dict,
+optionally loaded from a JSON file passed as ``argv[1]``
+(reference 1d-burgers/inf_cont_burgers.py:23-43), and persists it next
+to results (reference utils/plotting.py:15-16).  The same contract is
+kept here — identical key names (``N_u``, ``N_f``, ``layers``,
+``tf_epochs``, ``tf_lr``, ``tf_b1``, ``tf_eps``, ``nt_epochs``,
+``nt_lr``, ``nt_ncorr``, ``log_frequency``, ...) so a reference user's
+hp.json files drop in unchanged.  TPU-specific extras are namespaced
+with a ``tpu_`` prefix and all optional.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+HP = Dict  # hp dicts are plain dicts, as in the reference
+
+
+def load_hp(argv: Optional[List[str]] = None, defaults: Optional[HP] = None) -> HP:
+    """Reference CLI contract: ``script [hp.json]``.
+
+    If ``argv`` has a path argument, load hp from that JSON file;
+    otherwise return ``defaults``.  Keys present in the JSON override
+    defaults rather than replacing the dict wholesale, so partial
+    configs are valid.
+    """
+    hp = dict(defaults or {})
+    if argv and len(argv) > 1:
+        with open(argv[1]) as fh:
+            hp.update(json.load(fh))
+    return hp
+
+
+def save_hp(hp: HP, path: str) -> None:
+    with open(path, "w") as fh:
+        json.dump(hp, fh)
