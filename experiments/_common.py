@@ -1,0 +1,40 @@
+"""Shared experiment scaffolding: path setup, seeding, dtype resolution."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# Experiments are runnable both as scripts and as modules from repo root.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+# Persistent compilation cache: compiles through the remote TPU tunnel
+# take minutes; cache them across processes.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
+
+def setup(seed: int = 1234):
+    """Reference seeding contract (reference inf_cont_burgers.py:8-10):
+    numpy drives data sampling; jax PRNG keys thread from the same seed."""
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def resolve_dtype(hp):
+    """hp['dtype'] in {'float32','float64','bfloat16'}; default f32
+    (TPU-native), f64 enables x64 for reference-parity runs."""
+    import jax.numpy as jnp
+    name = hp.get("dtype", "float32")
+    if name == "float64":
+        jax.config.update("jax_enable_x64", True)
+    return jnp.dtype(name)

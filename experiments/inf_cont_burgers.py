@@ -1,0 +1,98 @@
+"""Continuous-time 1D Burgers inference.
+
+Parity target: reference 1d-burgers/inf_cont_burgers.py — [2, 20x8, 1]
+tanh MLP, N_u=100 boundary/initial data points, N_f=10,000 LHS
+collocation points, loss = MSE(data) + MSE(u_t + u u_x - nu u_xx),
+nu = 0.01/pi, Adam 100 @ lr .03 then L-BFGS 200 @ lr .8, rel-L2 error
+against the exact solution on the full grid.
+
+Usage: ``python experiments/inf_cont_burgers.py [hp.json]``
+"""
+
+from __future__ import annotations
+
+import sys
+
+from _common import setup, resolve_dtype  # noqa: F401 (path side effect)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn.data import burgers_cont_inference
+from pinn.models import mlp
+from pinn.problems import burgers
+from pinn.train import Trainer
+from pinn.utils import Logger, load_hp
+
+DEFAULT_HP = {
+    "N_u": 100,
+    "N_f": 10000,
+    "layers": [2, 20, 20, 20, 20, 20, 20, 20, 20, 1],
+    "tf_epochs": 100,
+    "tf_lr": 0.03,
+    "tf_b1": 0.9,
+    "tf_eps": None,
+    "nt_epochs": 200,
+    "nt_lr": 0.8,
+    "nt_ncorr": 50,
+    "log_frequency": 10,
+}
+
+
+def run(hp=None, plot=False, save_path=None):
+    key = setup(1234)
+    hp = {**DEFAULT_HP, **(hp or {})}
+    dtype = resolve_dtype(hp)
+
+    data = burgers_cont_inference(hp["N_u"], hp["N_f"])
+    lb = jnp.asarray(data.lb, dtype)
+    ub = jnp.asarray(data.ub, dtype)
+    X_u = jnp.asarray(data.X_u_train, dtype)
+    u = jnp.asarray(data.u_train, dtype)
+    X_f = jnp.asarray(data.X_f, dtype)
+    X_star = jnp.asarray(data.X_star, dtype)
+    nu = 0.01 / np.pi
+
+    net = mlp.init_mlp(key, hp["layers"], dtype)
+
+    batch = {"X_u": X_u, "u": u, "X_f": X_f}
+
+    def loss_fn(p, b):
+        return burgers.loss_cont_inference(p, b["X_u"], b["u"], b["X_f"],
+                                           lb, ub, nu)
+
+    predict_u = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
+    residual_f = jax.jit(lambda p, X: burgers.residual_cont(p, X, lb, ub, nu=nu))
+
+    logger = Logger(hp)
+    trainer = Trainer(loss_fn, net, batch, hp, logger)
+
+    def error():
+        u_pred = np.asarray(predict_u(trainer.params, X_star))
+        return float(np.linalg.norm(data.u_star - u_pred, 2)
+                     / np.linalg.norm(data.u_star, 2))
+
+    logger.set_error_fn(error)
+    params = trainer.fit()
+
+    u_pred = np.asarray(predict_u(params, X_star))
+    rel_l2 = error()
+
+    if plot:
+        from viz import plot_inf_cont_results
+        plot_inf_cont_results(data.X_star, u_pred, data.X_u_train,
+                              data.u_train, data.Exact_u, data.X, data.T,
+                              data.x, data.t,
+                              save_path=save_path or "experiments",
+                              save_hp=hp)
+    f_pred = np.asarray(residual_f(params, X_f))
+    return {"params": params, "u_pred": u_pred, "f_pred": f_pred,
+            "error": rel_l2, "data": data, "hp": hp, "loss_fn": loss_fn,
+            "batch": batch, "predict_u": predict_u}
+
+
+if __name__ == "__main__":
+    hp = load_hp(sys.argv, DEFAULT_HP)
+    result = run(hp, plot=True)
+    print(f"rel-L2 error: {result['error']:.4e}")

@@ -1,0 +1,118 @@
+"""Continuous-time 1D nonlinear Schrödinger inference.
+
+Parity target: reference 1dcomplex-schrodinger/inf_cont_schrodinger.py —
+[2, 100x4, 2] tanh MLP for (u, v) = (Re h, Im h); N_0=50 initial
+points, N_b=50 boundary times (periodic BCs on value and x-derivative),
+N_f=20,000 LHS collocation points; Adam 200 @ lr .05 (beta1=.99,
+eps=.1), L-BFGS off by default; error = rel-L2 of |h| on the grid.
+
+Usage: ``python experiments/inf_cont_schrodinger.py [hp.json]``
+"""
+
+from __future__ import annotations
+
+import sys
+
+from _common import setup, resolve_dtype  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn.data import schrodinger_inference
+from pinn.models import mlp
+from pinn.problems import schrodinger
+from pinn.train import Trainer
+from pinn.utils import Logger, load_hp
+
+DEFAULT_HP = {
+    "N_0": 50,
+    "N_b": 50,
+    "N_f": 20000,
+    "layers": [2, 100, 100, 100, 100, 2],
+    "tf_epochs": 200,
+    "tf_lr": 0.05,
+    "tf_b1": 0.99,
+    "tf_eps": 1e-1,
+    "nt_epochs": 0,
+    "nt_lr": 1.2,
+    "nt_ncorr": 50,
+    "log_frequency": 10,
+}
+
+
+def run(hp=None, plot=False, save_path=None):
+    key = setup(1234)
+    hp = {**DEFAULT_HP, **(hp or {})}
+    dtype = resolve_dtype(hp)
+
+    data = schrodinger_inference(hp["N_0"], hp["N_b"], hp["N_f"])
+    lb = jnp.asarray(data.lb, dtype)
+    ub = jnp.asarray(data.ub, dtype)
+
+    # Point sets (reference inf_cont_schrodinger.py:49-56).
+    X0 = np.concatenate([data.x0, 0 * data.x0], axis=1)
+    H0 = np.hstack([data.u0, data.v0])
+    X_lb = np.concatenate([0 * data.tb + data.lb[0], data.tb], axis=1)
+    X_ub = np.concatenate([0 * data.tb + data.ub[0], data.tb], axis=1)
+
+    batch = {
+        "X0": jnp.asarray(X0, dtype), "H0": jnp.asarray(H0, dtype),
+        "X_lb": jnp.asarray(X_lb, dtype), "X_ub": jnp.asarray(X_ub, dtype),
+        "X_f": jnp.asarray(data.X_f, dtype),
+    }
+    X_star = jnp.asarray(data.X_star, dtype)
+
+    net = mlp.init_mlp(key, hp["layers"], dtype)
+
+    def loss_fn(p, b):
+        return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"], b["X_ub"],
+                                b["X_f"], lb, ub)
+
+    terms_fn = jax.jit(lambda p, b: schrodinger.loss_terms(
+        p, b["X0"], b["H0"], b["X_lb"], b["X_ub"], b["X_f"], lb, ub))
+    predict_h = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
+
+    logger = Logger(hp)
+
+    def epoch_extra(p):
+        # The reference prints the three loss terms each step
+        # (inf_cont_schrodinger.py:128); here once per log line.
+        t = terms_fn(p, batch)
+        return (f"mse_0 = {float(t.mse_0):.4e}  "
+                f"mse_b = {float(t.mse_b):.4e}  "
+                f"mse_f = {float(t.mse_f):.4e}")
+
+    trainer = Trainer(loss_fn, net, batch, hp, logger,
+                      epoch_extra=epoch_extra)
+
+    def error():
+        H = np.asarray(predict_h(trainer.params, X_star))
+        h_pred = np.sqrt(H[:, 0:1] ** 2 + H[:, 1:2] ** 2)
+        return float(np.linalg.norm(data.h_star - h_pred, 2)
+                     / np.linalg.norm(data.h_star, 2))
+
+    logger.set_error_fn(error)
+    params = trainer.fit()
+
+    H = np.asarray(predict_h(params, X_star))
+    u_pred, v_pred = H[:, 0:1], H[:, 1:2]
+    h_pred = np.sqrt(u_pred ** 2 + v_pred ** 2)
+    rel_l2 = error()
+
+    if plot:
+        from viz import plot_schrodinger_results
+        plot_schrodinger_results(data.X_star, u_pred, v_pred, h_pred,
+                                 data.Exact_h, data.X, data.T, data.x,
+                                 data.t, data.lb, data.ub, data.x0, data.tb,
+                                 save_path=save_path or "experiments",
+                                 save_hp=hp)
+    return {"params": params, "u_pred": u_pred, "v_pred": v_pred,
+            "h_pred": h_pred, "error": rel_l2, "data": data, "hp": hp,
+            "loss_fn": loss_fn, "batch": batch}
+
+
+if __name__ == "__main__":
+    hp = load_hp(sys.argv, DEFAULT_HP)
+    result = run(hp, plot=True)
+    print(f"rel-L2 error (|h|): {result['error']:.4e}")

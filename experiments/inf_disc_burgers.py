@@ -1,0 +1,104 @@
+"""Discrete-time Burgers inference with q-stage IRK time stepping.
+
+Parity target: reference 1d-burgers/inf_disc_burgers.py — [1, 50x3,
+q+1] net mapping x to the q IRK stage values + the t1 solution; q=500,
+N_n=250 points of the t=t10 snapshot; backward IRK map
+U_0 = U_1 + dt (U U_x - nu U_xx) Wᵀ; loss = SSE(t0 data) +
+SSE(boundary); Adam 200 @ 1e-3 then L-BFGS 1000; error = rel-L2 of the
+predicted t1 snapshot.
+
+Usage: ``python experiments/inf_disc_burgers.py [hp.json]``
+"""
+
+from __future__ import annotations
+
+import sys
+
+from _common import setup, resolve_dtype  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn.data import burgers_disc_inference
+from pinn.models import mlp
+from pinn.problems import burgers
+from pinn.train import Trainer
+from pinn.utils import Logger, load_hp
+
+DEFAULT_HP = {
+    "N_n": 250,
+    "q": 500,
+    "layers": [1, 50, 50, 50, 501],
+    "tf_epochs": 200,
+    "tf_lr": 0.001,
+    "tf_b1": 0.9,
+    "tf_eps": 1e-8,
+    "nt_epochs": 1000,
+    "nt_lr": 0.8,
+    "nt_ncorr": 50,
+    "log_frequency": 10,
+}
+
+IDX_T_0 = 10
+IDX_T_1 = 90
+
+
+def run(hp=None, plot=False, save_path=None):
+    key = setup(1234)
+    hp = {**DEFAULT_HP, **(hp or {})}
+    hp["layers"] = list(hp["layers"])
+    hp["layers"][-1] = hp["q"] + 1
+    dtype = resolve_dtype(hp)
+
+    lb = np.array([-1.0])
+    ub = np.array([1.0])
+    nu = 0.01 / np.pi
+    data = burgers_disc_inference(hp["N_n"], hp["q"], lb, ub,
+                                  IDX_T_0, IDX_T_1)
+    lbj = jnp.asarray(lb, dtype)
+    ubj = jnp.asarray(ub, dtype)
+    irk_w = jnp.asarray(data.IRK_weights, dtype)
+    batch = {"x_0": jnp.asarray(data.x_0, dtype),
+             "u_0": jnp.asarray(data.u_0, dtype),
+             "x_1": jnp.asarray(data.x_1, dtype)}
+
+    net = mlp.init_mlp(key, hp["layers"], dtype)
+
+    def loss_fn(p, b):
+        return burgers.loss_disc_inference(
+            p, b["x_0"], b["u_0"], b["x_1"], lbj, ubj, nu, data.dt, irk_w)
+
+    # Prediction: the network's last output column is u(t1, x)
+    # (reference inf_disc_burgers.py:125-127).
+    predict_u1 = jax.jit(lambda p, x: mlp.apply(p, x, lbj, ubj)[:, -1])
+
+    logger = Logger(hp)
+    trainer = Trainer(loss_fn, net, batch, hp, logger)
+    x_star = jnp.asarray(data.x_star, dtype)
+
+    def error():
+        u_pred = np.asarray(predict_u1(trainer.params, x_star))
+        return float(np.linalg.norm(u_pred - data.u_star, 2)
+                     / np.linalg.norm(data.u_star, 2))
+
+    logger.set_error_fn(error)
+    params = trainer.fit()
+    u_1_pred = np.asarray(predict_u1(params, x_star))
+    rel_l2 = error()
+
+    if plot:
+        from viz import plot_inf_disc_results
+        plot_inf_disc_results(data.x_star, IDX_T_0, IDX_T_1, data.x_0,
+                              data.u_0, ub, lb, u_1_pred, data.Exact_u,
+                              data.x, data.t,
+                              save_path=save_path or "experiments",
+                              save_hp=hp)
+    return {"params": params, "u_1_pred": u_1_pred, "error": rel_l2,
+            "data": data, "hp": hp}
+
+
+if __name__ == "__main__":
+    hp = load_hp(sys.argv, DEFAULT_HP)
+    result = run(hp, plot=True)
+    print(f"rel-L2 error (t1 snapshot): {result['error']:.4e}")

@@ -103,29 +103,56 @@ def taylor_apply(
     ``order=2`` also propagates the second directional derivative along
     ``v1``.  Cost: (2 + order-1 + has_v2) matmuls per layer, all batched
     on the MXU.
+
+    The first layer is special-cased: the tangent of the (affine)
+    normalized input is the same constant row for every point, so its
+    image under W0 is a single (din,) @ (din, h) vector broadcast over
+    the batch, and its second derivative is exactly zero.  This both
+    saves two batch-sized matmuls and keeps batch-shaped compile-time
+    constants out of the program (constant @ parameter matmuls crash
+    the current libtpu AOT compiler).
     """
     scale = 2.0 / (ub - lb)  # d(normalize)/dX is diagonal
     a = normalize(X, lb, ub)
-    n = X.shape[0]
-    ones = jnp.ones((n, 1), dtype=a.dtype)
-    a1 = ones * (v1 * scale)
-    a11 = jnp.zeros_like(a) if order >= 2 else None
-    a2 = ones * (v2 * scale) if v2 is not None else None
 
-    for w, b in params[:-1]:
+    # ---- first affine layer ----
+    w, b = params[0]
+    z = a @ w + b
+    z1 = jnp.broadcast_to((v1 * scale) @ w, z.shape)
+    z2 = jnp.broadcast_to((v2 * scale) @ w, z.shape) if v2 is not None else None
+
+    if len(params) == 1:  # single linear layer
+        return TaylorOut(
+            value=z, d1=z1,
+            d11=jnp.zeros_like(z) if order >= 2 else None,
+            d2=z2)
+
+    a = jnp.tanh(z)
+    sp = 1.0 - a * a              # tanh'
+    a1 = sp * z1
+    if order >= 2:
+        spp = -2.0 * a * sp       # tanh''
+        a11 = spp * z1 * z1      # z11 of the first layer is exactly 0
+    else:
+        a11 = None
+    a2 = sp * z2 if z2 is not None else None
+
+    # ---- remaining hidden layers ----
+    for w, b in params[1:-1]:
         z = a @ w + b
         z1 = a1 @ w
         z11 = a11 @ w if order >= 2 else None
         z2 = a2 @ w if a2 is not None else None
         a = jnp.tanh(z)
-        sp = 1.0 - a * a          # tanh'
+        sp = 1.0 - a * a
         a1 = sp * z1
         if order >= 2:
-            spp = -2.0 * a * sp   # tanh''
+            spp = -2.0 * a * sp
             a11 = spp * z1 * z1 + sp * z11
         if z2 is not None:
             a2 = sp * z2
 
+    # ---- linear output layer ----
     w, b = params[-1]
     return TaylorOut(
         value=a @ w + b,

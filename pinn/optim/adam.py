@@ -1,0 +1,73 @@
+"""Adam warmup phase as compiled scan chunks.
+
+Parity target: the reference's Adam loop (reference
+utils/neuralnetwork.py:105-116) with keras defaults — lr/beta1/epsilon
+come from hp["tf_lr"]/["tf_b1"]/["tf_eps"], beta2 = 0.999, and
+``tf_eps: None`` means the keras default epsilon 1e-7.
+
+TPU-first: instead of one eager step per Python-loop iteration, a
+``lax.scan`` advances ``log_frequency`` steps inside a single XLA
+program and returns the per-step loss trace for host-side logging.
+
+Data threading: the training batch is an explicit argument
+(``loss_fn(params, batch)``), never a closure constant — large
+closed-over constants both bloat the executable and (on the current
+libtpu build) can crash AOT compilation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+KERAS_DEFAULT_EPS = 1e-7
+
+
+def adam_from_hp(hp: dict) -> optax.GradientTransformation:
+    eps = hp.get("tf_eps")
+    if eps is None:
+        eps = KERAS_DEFAULT_EPS
+    return optax.adam(
+        learning_rate=hp["tf_lr"],
+        b1=hp.get("tf_b1", 0.9),
+        b2=0.999,
+        eps=eps,
+    )
+
+
+class AdamRunner:
+    """Chunked Adam driver over a params pytree.
+
+    ``loss_fn(params, batch) -> scalar`` is any jit-traceable loss; for
+    PINNs the batch pytree carries data + collocation arrays.
+    """
+
+    def __init__(self, loss_fn: Callable[[Any, Any], jnp.ndarray], hp: dict):
+        self.optimizer = adam_from_hp(hp)
+        self.loss_fn = loss_fn
+
+        @partial(jax.jit, static_argnums=3)
+        def run(params, opt_state, batch, n_steps: int):
+            def one_step(carry, _):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                one_step, (params, opt_state), None, length=n_steps)
+            return params, opt_state, losses
+
+        self._run = run
+
+    def init(self, params):
+        return self.optimizer.init(params)
+
+    def run(self, params, opt_state, batch, n_steps: int):
+        """Advance ``n_steps``; returns (params, opt_state, losses[n_steps])."""
+        return self._run(params, opt_state, batch, n_steps)

@@ -1,0 +1,281 @@
+"""L-BFGS as a jitted fixed-shape ``lax.while_loop`` program.
+
+Behavior parity target: the reference's eager two-loop-recursion
+L-BFGS without line search (reference utils/custom_lbfgs.py, itself a
+port of Torch's lbfgs.lua): curvature-guarded (s, y) memory
+(``y·s > 1e-10``), initial-Hessian scaling ``H0 = y·s / y·y``, step
+size ``t = min(1, 1 / Σ|g|)`` on the first iteration then the fixed
+``learningRate``, and stopping rules on Σ|g| ≤ tolFun, Σ|t·d| ≤ tolX,
+|f − f_old| < tolX, gᵀd > −tolX, and a maxEval budget.
+
+TPU-first re-design: the reference mutates Python lists of tensors in
+an eager loop (one kernel launch per dot product).  Here the history is
+a pair of fixed-shape ``(m, P)`` ring buffers and the whole optimizer
+is a single compiled ``lax.while_loop``; the two-loop recursion is a
+``lax.fori_loop`` over the static memory depth with masked
+contributions for unfilled slots.  One XLA program advances K
+iterations (K = the logger frequency) and returns a loss history
+buffer, so the host loop logs between chunks without host callbacks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Termination reason codes (state.reason)
+RUNNING = 0
+MAX_ITER = 1
+GRAD_TOL = 2        # sum|g| <= tolFun
+STEP_TOL = 3        # sum|t*d| <= tolX
+F_TOL = 4           # |f - f_old| < tolX
+NO_PROGRESS = 5     # g·d > -tolX
+MAX_EVAL = 6
+NON_FINITE = 7      # loss became NaN/inf (divergence guard; not in the reference)
+
+REASON_NAMES = {
+    RUNNING: "running",
+    MAX_ITER: "max iterations reached",
+    GRAD_TOL: "optimality condition below tolFun",
+    STEP_TOL: "step size below tolX",
+    F_TOL: "function value changing less than tolX",
+    NO_PROGRESS: "can not make progress along direction",
+    MAX_EVAL: "max nb of function evals",
+    NON_FINITE: "loss non-finite — diverged; kept last finite iterate",
+}
+
+
+class LbfgsConfig(NamedTuple):
+    """Mirrors the reference's nt_config Struct (utils/neuralnetwork.py:13-17)."""
+
+    learning_rate: float = 1.0
+    max_iter: int = 100
+    n_correction: int = 50
+    tol_fun: float = float(np.finfo(np.float64).eps)
+    tol_x: float = 1e-19
+    max_eval: int = 0  # 0 -> 1.25 * max_iter, as in the reference
+
+    def resolved_max_eval(self) -> int:
+        return self.max_eval or int(self.max_iter * 1.25)
+
+
+class LbfgsState(NamedTuple):
+    x: jnp.ndarray          # (P,) iterate
+    f: jnp.ndarray          # () loss at x
+    g: jnp.ndarray          # (P,) gradient at x
+    d: jnp.ndarray          # (P,) last search direction
+    t: jnp.ndarray          # () last step size
+    f_old: jnp.ndarray      # () previous loss
+    g_old: jnp.ndarray      # (P,) previous gradient
+    S: jnp.ndarray          # (m, P) step history ring (s = t*d)
+    Y: jnp.ndarray          # (m, P) gradient-difference ring
+    hdiag: jnp.ndarray      # () initial Hessian scale
+    k: jnp.ndarray          # () int32, filled history length (<= m)
+    head: jnp.ndarray       # () int32, ring insert position
+    n_iter: jnp.ndarray     # () int32, global iteration counter
+    n_evals: jnp.ndarray    # () int32, function evaluations so far
+    reason: jnp.ndarray     # () int32, RUNNING or a termination code
+
+
+# opfunc(w, batch) -> (f, g): the batch pytree is threaded explicitly so
+# data arrays are jit arguments, not closure constants (see adam.py note).
+OpFunc = Callable[[jnp.ndarray, Any], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def lbfgs_init(opfunc: OpFunc, x0: jnp.ndarray, config: LbfgsConfig,
+               batch: Any = None) -> LbfgsState:
+    """Evaluate f, g at x0 and build the zeroed fixed-shape state."""
+    f0, g0 = opfunc(x0, batch)
+    m = config.n_correction
+    p = x0.shape[0]
+    dt = x0.dtype
+    zero = jnp.zeros((), dt)
+    # Initial-point optimality check (reference custom_lbfgs.py:73-76).
+    reason = jnp.where(jnp.sum(jnp.abs(g0)) <= config.tol_fun,
+                       jnp.int32(GRAD_TOL), jnp.int32(RUNNING))
+    return LbfgsState(
+        x=x0, f=f0, g=g0,
+        d=jnp.zeros((p,), dt), t=zero,
+        f_old=f0, g_old=g0,
+        S=jnp.zeros((m, p), dt), Y=jnp.zeros((m, p), dt),
+        hdiag=jnp.ones((), dt),
+        k=jnp.int32(0), head=jnp.int32(0),
+        n_iter=jnp.int32(0), n_evals=jnp.int32(1),
+        reason=reason,
+    )
+
+
+def _two_loop(g, S, Y, k, head, hdiag, m):
+    """Two-loop recursion over the ring buffer with masked unfilled slots.
+
+    Slot ages: logical index j in [0, k) maps to ring row
+    (head - k + j) mod m, oldest first.
+    """
+    def row(j):
+        return (head - k + j) % m
+
+    # rho_j = 1 / (y_j . s_j) for filled slots (guard against 0-div in
+    # masked slots).
+    q = -g
+
+    def bwd_body(i, q):
+        # i counts newest -> oldest: logical j = k - 1 - i
+        j = k - 1 - i
+        r = row(j)
+        valid = i < k
+        sj, yj = S[r], Y[r]
+        rho = 1.0 / jnp.where(valid, jnp.vdot(yj, sj), 1.0)
+        al = rho * jnp.vdot(sj, q)
+        al = jnp.where(valid, al, 0.0)
+        return q - al * yj * jnp.where(valid, 1.0, 0.0), al
+
+    # We need the al coefficients again in the forward loop; carry them.
+    def bwd_scan(carry, i):
+        q = carry
+        q, al = bwd_body(i, q)
+        return q, al
+
+    q, als = jax.lax.scan(bwd_scan, q, jnp.arange(m))
+    r_vec = q * hdiag
+
+    def fwd_body(i, r_vec):
+        # i counts oldest -> newest: logical j = i, but als was recorded
+        # newest-first: als[k-1-j]
+        j = i
+        rr = row(j)
+        valid = i < k
+        sj, yj = S[rr], Y[rr]
+        rho = 1.0 / jnp.where(valid, jnp.vdot(yj, sj), 1.0)
+        be = rho * jnp.vdot(yj, r_vec)
+        al = als[k - 1 - j]
+        upd = (al - be) * sj
+        return r_vec + jnp.where(valid, 1.0, 0.0) * upd
+
+    r_vec = jax.lax.fori_loop(0, m, fwd_body, r_vec)
+    return r_vec
+
+
+def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
+          batch: Any) -> LbfgsState:
+    m = config.n_correction
+    dt = state.x.dtype
+    first = state.n_iter == 0
+
+    # ---- memory update (skipped on the first iteration) ----
+    y = state.g - state.g_old
+    s = state.d * state.t
+    ys = jnp.vdot(y, s)
+    do_update = jnp.logical_and(jnp.logical_not(first), ys > 1e-10)
+
+    S = jnp.where(do_update, state.S.at[state.head].set(s), state.S)
+    Y = jnp.where(do_update, state.Y.at[state.head].set(y), state.Y)
+    head = jnp.where(do_update, (state.head + 1) % m, state.head)
+    k = jnp.where(do_update, jnp.minimum(state.k + 1, m), state.k)
+    hdiag = jnp.where(do_update, ys / jnp.vdot(y, y), state.hdiag)
+
+    # ---- search direction ----
+    d = jnp.where(first, -state.g, _two_loop(state.g, S, Y, k, head, hdiag, m))
+
+    gtd = jnp.vdot(state.g, d)
+    no_progress = gtd > -config.tol_x
+
+    # ---- step size (reference custom_lbfgs.py:159-163) ----
+    g_abs_sum = jnp.sum(jnp.abs(state.g))
+    t = jnp.where(first,
+                  jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
+                  jnp.asarray(config.learning_rate, dt))
+
+    x_new = state.x + t * d
+    f_new, g_new = opfunc(x_new, batch)
+
+    # ---- convergence checks on the new point ----
+    n_evals = state.n_evals + 1
+    reason = jnp.int32(RUNNING)
+    reason = jnp.where(jnp.abs(f_new - state.f) < config.tol_x,
+                       jnp.int32(F_TOL), reason)
+    reason = jnp.where(jnp.sum(jnp.abs(t * d)) <= config.tol_x,
+                       jnp.int32(STEP_TOL), reason)
+    reason = jnp.where(jnp.sum(jnp.abs(g_new)) <= config.tol_fun,
+                       jnp.int32(GRAD_TOL), reason)
+    reason = jnp.where(n_evals >= config.resolved_max_eval(),
+                       jnp.int32(MAX_EVAL), reason)
+    non_finite = jnp.logical_not(jnp.isfinite(f_new))
+    reason = jnp.where(non_finite, jnp.int32(NON_FINITE), reason)
+    reason = jnp.where(no_progress, jnp.int32(NO_PROGRESS), reason)
+
+    new_state = LbfgsState(
+        x=x_new, f=f_new, g=g_new, d=d, t=t,
+        f_old=state.f, g_old=state.g,
+        S=S, Y=Y, hdiag=hdiag, k=k, head=head,
+        n_iter=state.n_iter + 1, n_evals=n_evals,
+        reason=reason,
+    )
+
+    # On no-progress the reference breaks BEFORE stepping; keep the old
+    # iterate in that case.  Same treatment on divergence to NaN/inf
+    # (guard added on top of the reference semantics).
+    def keep_old(ns: LbfgsState) -> LbfgsState:
+        return ns._replace(x=state.x, f=state.f, g=state.g,
+                           f_old=state.f_old, g_old=state.g_old)
+
+    return jax.lax.cond(jnp.logical_or(no_progress, non_finite),
+                        keep_old, lambda ns: ns, new_state)
+
+
+def make_lbfgs_run(opfunc: OpFunc, config: LbfgsConfig):
+    """Build ``run(state, batch, n_steps) -> (state, f_hist)``, jitted.
+
+    Advances up to ``n_steps`` iterations (stopping early if converged —
+    remaining slots of ``f_hist`` are filled with the last loss).
+    ``n_steps`` is static; the trainer calls this in logger-frequency
+    chunks.
+    """
+
+    @partial(jax.jit, static_argnums=2)
+    def run(state: LbfgsState, batch: Any, n_steps: int):
+        f_hist = jnp.full((n_steps,), state.f, dtype=state.f.dtype)
+
+        def cond(carry):
+            i, st, _ = carry
+            return jnp.logical_and(i < n_steps, st.reason == RUNNING)
+
+        def body(carry):
+            i, st, hist = carry
+            st = _step(opfunc, config, st, batch)
+            hist = jax.lax.dynamic_update_index_in_dim(hist, st.f, i, 0)
+            return i + 1, st, hist
+
+        i, state, f_hist = jax.lax.while_loop(cond, body, (jnp.int32(0), state, f_hist))
+        # Back-fill unreached slots with the final loss for clean logging.
+        idx = jnp.arange(n_steps)
+        f_hist = jnp.where(idx < i, f_hist, state.f)
+        return state, f_hist
+
+    return run
+
+
+def minimize(opfunc: OpFunc, x0: jnp.ndarray, config: LbfgsConfig,
+             batch: Any = None, log_fn=None, log_frequency: int = 10):
+    """Convenience driver: full optimization with host-side logging.
+
+    ``log_fn(iteration, loss)`` is called every ``log_frequency``
+    iterations from the host, between jitted chunks (the reference logs
+    from inside its eager loop, custom_lbfgs.py:217-221).
+    Returns the final state.
+    """
+    if config.max_iter == 0:
+        return lbfgs_init(opfunc, x0, config, batch)
+    state = lbfgs_init(opfunc, x0, config, batch)
+    run = make_lbfgs_run(opfunc, config)
+    done = 0
+    while done < config.max_iter and int(state.reason) == RUNNING:
+        chunk = min(log_frequency, config.max_iter - done)
+        state, f_hist = run(state, batch, chunk)
+        done += chunk
+        if log_fn is not None:
+            log_fn(done, float(f_hist[-1]))
+    return state

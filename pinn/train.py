@@ -1,0 +1,117 @@
+"""Trainer: Adam warmup then L-BFGS, chunked jitted stepping.
+
+Parity target: ``NeuralNetwork.fit`` (reference
+utils/neuralnetwork.py:105-149) — Adam for ``tf_epochs`` then L-BFGS
+for ``nt_epochs`` over a flat parameter vector, with logger lines every
+``log_frequency`` epochs and the injected error metric at train end.
+
+TPU-first: both phases advance in compiled chunks of ``log_frequency``
+steps (``lax.scan`` for Adam, ``lax.while_loop`` for L-BFGS); the host
+loop only logs and checks the L-BFGS termination flag between chunks,
+so the hot path never leaves the device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pinn import params as pcodec
+from pinn.optim.adam import AdamRunner
+from pinn.optim import lbfgs as lb
+from pinn.utils.logger import Logger
+
+
+def lbfgs_config_from_hp(hp: dict) -> lb.LbfgsConfig:
+    import numpy as np
+    return lb.LbfgsConfig(
+        learning_rate=hp.get("nt_lr", 0.8),
+        max_iter=hp.get("nt_epochs", 0),
+        n_correction=hp.get("nt_ncorr", 50),
+        tol_fun=float(np.finfo(np.float64).eps),
+    )
+
+
+class Trainer:
+    """Drives ``loss_fn(params, batch) -> scalar`` through both phases.
+
+    The batch pytree holds every data/collocation array; it is passed
+    as a jit argument on each chunk (never closed over — see
+    pinn.optim.adam docstring).
+
+    ``epoch_extra(params) -> str`` (optional) is appended to log lines —
+    the identification experiments use it to print lambda values
+    (reference ide_disc_burgers.py:165-168).
+    """
+
+    def __init__(self, loss_fn: Callable[[Any, Any], jnp.ndarray], params0,
+                 batch: Any, hp: dict, logger: Optional[Logger] = None,
+                 epoch_extra: Optional[Callable[[Any], str]] = None):
+        self.loss_fn = loss_fn
+        self.batch = batch
+        self.params = params0
+        self.hp = hp
+        self.logger = logger
+        self.epoch_extra = epoch_extra
+        self.tf_epochs = hp.get("tf_epochs", 0)
+        self.nt_config = lbfgs_config_from_hp(hp)
+        self.frequency = hp.get("log_frequency", 10)
+        self.adam = AdamRunner(loss_fn, hp) if self.tf_epochs > 0 else None
+        self.last_lbfgs_state: Optional[lb.LbfgsState] = None
+
+    # -- logging helpers ---------------------------------------------------
+    def _log(self, method: str, *args, **kw):
+        if self.logger is not None:
+            getattr(self.logger, method)(*args, **kw)
+
+    def _extra(self) -> str:
+        return self.epoch_extra(self.params) if self.epoch_extra else ""
+
+    # -- phases ------------------------------------------------------------
+    def _adam_phase(self):
+        self._log("log_train_opt", "Adam")
+        opt_state = self.adam.init(self.params)
+        done = 0
+        while done < self.tf_epochs:
+            chunk = min(self.frequency, self.tf_epochs - done)
+            self.params, opt_state, losses = self.adam.run(
+                self.params, opt_state, self.batch, chunk)
+            # losses[0] is the loss at epoch `done` (pre-update), i.e.
+            # the value the reference logs for that epoch.
+            self._log("log_train_epoch", done, float(losses[0]),
+                      self._extra(), False)
+            done += chunk
+
+    def _lbfgs_phase(self):
+        if self.nt_config.max_iter == 0:
+            return
+        self._log("log_train_opt", "LBFGS")
+        flat, unravel = pcodec.ravel_with_unravel(self.params)
+
+        def opfunc(w, batch):
+            return jax.value_and_grad(
+                lambda w_: self.loss_fn(unravel(w_), batch))(w)
+
+        state = lb.lbfgs_init(opfunc, flat, self.nt_config, self.batch)
+        run = lb.make_lbfgs_run(opfunc, self.nt_config)
+        done = 0
+        while done < self.nt_config.max_iter and int(state.reason) == lb.RUNNING:
+            chunk = min(self.frequency, self.nt_config.max_iter - done)
+            state, f_hist = run(state, self.batch, chunk)
+            done += chunk
+            self.params = unravel(state.x)
+            self._log("log_train_epoch", done, float(f_hist[-1]),
+                      self._extra(), True)
+        self.params = unravel(state.x)
+        self.last_lbfgs_state = state
+
+    def fit(self):
+        self._log("log_train_start", self)
+        if self.tf_epochs > 0:
+            self._adam_phase()
+        self._lbfgs_phase()
+        self._log("log_train_end",
+                  self.tf_epochs + self.nt_config.max_iter, self._extra())
+        return self.params

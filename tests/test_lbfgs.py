@@ -1,0 +1,99 @@
+"""L-BFGS convergence tests (SURVEY.md §4: quadratic/Rosenbrock oracles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn.optim import lbfgs as lb
+
+
+def quad_opfunc(dim=20, seed=0, dtype=jnp.float64):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(dim, dim)
+    A = A @ A.T + dim * np.eye(dim)
+    b = rng.randn(dim)
+    A = jnp.asarray(A, dtype)
+    bb = jnp.asarray(b, dtype)
+
+    def opfunc(x, batch=None):
+        f = 0.5 * x @ A @ x - bb @ x
+        return f, A @ x - bb
+
+    x_star = jnp.linalg.solve(A, bb)
+    return opfunc, x_star
+
+
+def test_quadratic_convergence():
+    opfunc, x_star = quad_opfunc()
+    config = lb.LbfgsConfig(learning_rate=1.0, max_iter=100, n_correction=10)
+    state = lb.minimize(opfunc, jnp.zeros_like(x_star), config)
+    np.testing.assert_allclose(np.asarray(state.x), np.asarray(x_star),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_rosenbrock_descends():
+    def opfunc(x, batch=None):
+        f = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+        return f, jax.grad(lambda z: 100.0 * (z[1] - z[0] ** 2) ** 2
+                           + (1 - z[0]) ** 2)(x)
+
+    x0 = jnp.array([-1.2, 1.0], dtype=jnp.float64)
+    config = lb.LbfgsConfig(learning_rate=0.3, max_iter=400, n_correction=20)
+    state = lb.minimize(opfunc, x0, config)
+    f0 = float(opfunc(x0)[0])
+    assert float(state.f) < 1e-2 * f0
+
+
+def test_history_depth_exceeded():
+    """More iterations than memory slots: ring must wrap without NaNs."""
+    opfunc, x_star = quad_opfunc(dim=30, seed=1)
+    config = lb.LbfgsConfig(learning_rate=1.0, max_iter=60, n_correction=3)
+    state = lb.minimize(opfunc, jnp.zeros_like(x_star), config)
+    assert np.isfinite(float(state.f))
+    np.testing.assert_allclose(np.asarray(state.x), np.asarray(x_star),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_first_step_size_rule():
+    """First step must be t = min(1, 1/sum|g|), then t = learning_rate."""
+    opfunc, _ = quad_opfunc(dim=5, seed=2)
+    x0 = jnp.zeros(5, dtype=jnp.float64)
+    config = lb.LbfgsConfig(learning_rate=0.5, max_iter=3, n_correction=5)
+    state = lb.lbfgs_init(opfunc, x0, config)
+    run = lb.make_lbfgs_run(opfunc, config)
+    g0_sum = float(jnp.sum(jnp.abs(state.g)))
+    state, _ = run(state, None, 1)
+    expected_t = min(1.0, 1.0 / g0_sum)
+    np.testing.assert_allclose(float(state.t), expected_t, rtol=1e-12)
+    state, _ = run(state, None, 1)
+    np.testing.assert_allclose(float(state.t), 0.5, rtol=1e-12)
+
+
+def test_early_stop_on_converged_start():
+    """Starting at the optimum: initial-point optimality check fires."""
+    opfunc, x_star = quad_opfunc(dim=5, seed=3)
+    config = lb.LbfgsConfig(max_iter=10, n_correction=5, tol_fun=1e-8)
+    state = lb.minimize(opfunc, x_star, config)
+    assert int(state.reason) == lb.GRAD_TOL
+    assert int(state.n_iter) == 0
+
+
+def test_max_iter_zero_noop():
+    opfunc, _ = quad_opfunc(dim=4, seed=4)
+    x0 = jnp.ones(4, dtype=jnp.float64)
+    config = lb.LbfgsConfig(max_iter=0)
+    state = lb.minimize(opfunc, x0, config)
+    np.testing.assert_array_equal(np.asarray(state.x), np.asarray(x0))
+
+
+def test_f_hist_monotone_logging():
+    """Chunked run returns a per-iteration loss history."""
+    opfunc, _ = quad_opfunc(dim=10, seed=5)
+    config = lb.LbfgsConfig(learning_rate=1.0, max_iter=20, n_correction=10)
+    state = lb.lbfgs_init(opfunc, jnp.zeros(10, dtype=jnp.float64), config)
+    run = lb.make_lbfgs_run(opfunc, config)
+    state, hist = run(state, None, 10)
+    hist = np.asarray(hist)
+    assert hist.shape == (10,)
+    assert hist[-1] <= hist[0]
+    assert np.isfinite(hist).all()
