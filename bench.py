@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark: flagship continuous-Burgers PINN training throughput.
+
+Prints ONE JSON line:
+    {"metric": "burgers_train_steps_per_sec", "value": N,
+     "unit": "steps/s", "vs_baseline": N, ...extras}
+
+``value``: compiled Adam training steps/sec at the reference's default
+workload (8x20 tanh MLP, N_u=100 data + N_f=10,000 collocation points —
+reference 1d-burgers/inf_cont_burgers.py:29-42) on the available
+accelerator.
+
+``vs_baseline``: speedup over the *reference's execution model* — an
+eager TensorFlow-2 float64 step with nested GradientTape residual
+derivatives on CPU (the reference runs fully eager; its @tf.function
+decorators are commented out, reference utils/neuralnetwork.py:50-54).
+The baseline is measured live when TF is importable, else a recorded
+constant from this machine is used (see BASELINE_FALLBACK).
+
+Extras report L-BFGS iterations/sec and collocation-residual
+evaluations/sec/chip (the BASELINE.md north-star metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+LAYERS = [2, 20, 20, 20, 20, 20, 20, 20, 20, 1]
+N_U, N_F = 100, 10000
+
+# Eager-TF2-CPU steps/s measured on this host (used if TF import fails).
+BASELINE_FALLBACK = 2.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_ours(smoke: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from pinn.models import mlp
+    from pinn.problems import burgers
+    from pinn.optim.adam import AdamRunner
+    from pinn.optim import lbfgs as lb
+    from pinn import params as pcodec
+
+    dtype = jnp.float32
+    n_f = 1000 if smoke else N_F
+    key = jax.random.PRNGKey(1234)
+    params = mlp.init_mlp(key, LAYERS, dtype)
+    lb_ = jnp.array([-1.0, 0.0], dtype)
+    ub_ = jnp.array([1.0, 1.0], dtype)
+    nu = 0.01 / np.pi
+    rng = np.random.RandomState(0)
+    batch = {"X_u": jnp.asarray(rng.rand(N_U, 2), dtype),
+             "u": jnp.asarray(rng.rand(N_U, 1), dtype),
+             "X_f": jnp.asarray(rng.rand(n_f, 2), dtype)}
+
+    def loss_fn(p, b):
+        return burgers.loss_cont_inference(p, b["X_u"], b["u"], b["X_f"],
+                                           lb_, ub_, nu)
+
+    hp = {"tf_lr": 0.03, "tf_b1": 0.9, "tf_eps": None}
+    runner = AdamRunner(loss_fn, hp)
+    opt_state = runner.init(params)
+
+    chunk = 20 if smoke else 100
+    log(f"compiling adam chunk ({chunk} steps, N_f={n_f})...")
+    t0 = time.time()
+    p, s, losses = runner.run(params, opt_state, batch, chunk)
+    jax.block_until_ready(losses)
+    log(f"  compile+first chunk: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    reps = 2 if smoke else 5
+    for _ in range(reps):
+        p, s, losses = runner.run(p, s, batch, chunk)
+    jax.block_until_ready(losses)
+    adam_sps = reps * chunk / (time.time() - t0)
+    log(f"  adam steps/s: {adam_sps:.1f}")
+
+    # L-BFGS iterations/sec.
+    flat, unravel = pcodec.ravel_with_unravel(params)
+
+    def opfunc(w, b):
+        return jax.value_and_grad(lambda w_: loss_fn(unravel(w_), b))(w)
+
+    config = lb.LbfgsConfig(learning_rate=0.8, max_iter=10 ** 6,
+                            n_correction=50)
+    state = lb.lbfgs_init(opfunc, flat, config, batch)
+    run = lb.make_lbfgs_run(opfunc, config)
+    log("compiling lbfgs chunk...")
+    state, _ = run(state, batch, chunk)
+    jax.block_until_ready(state.f)
+    t0 = time.time()
+    for _ in range(reps):
+        state, fh = run(state, batch, chunk)
+    jax.block_until_ready(state.f)
+    lbfgs_ips = reps * chunk / (time.time() - t0)
+    log(f"  lbfgs iters/s: {lbfgs_ips:.1f}")
+
+    backend = jax.default_backend()
+    return adam_sps, lbfgs_ips, n_f, backend
+
+
+def measure_tf_baseline(n_f: int, steps: int = 3):
+    """Eager TF2 f64 nested-GradientTape step on CPU — the reference's
+    execution model, written fresh (not reference code)."""
+    try:
+        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+        import tensorflow as tf
+        import numpy as np
+    except Exception as e:  # pragma: no cover
+        log(f"TF baseline unavailable ({e}); using fallback")
+        return None
+
+    tf.keras.backend.set_floatx("float64")
+    model = tf.keras.Sequential(
+        [tf.keras.layers.InputLayer(input_shape=(2,))]
+        + [tf.keras.layers.Dense(w, activation="tanh") for w in LAYERS[1:-1]]
+        + [tf.keras.layers.Dense(1)])
+    opt = tf.keras.optimizers.Adam(0.03)
+    rng = np.random.RandomState(0)
+    X_u = tf.constant(rng.rand(N_U, 2))
+    u = tf.constant(rng.rand(N_U, 1))
+    x_f = tf.constant(rng.rand(n_f, 1))
+    t_f = tf.constant(rng.rand(n_f, 1))
+    nu = 0.01 / np.pi
+
+    def one_step():
+        with tf.GradientTape() as outer:
+            with tf.GradientTape(persistent=True) as tape:
+                tape.watch(x_f)
+                tape.watch(t_f)
+                X_f = tf.concat([x_f, t_f], axis=1)
+                up = model(X_f)
+                u_x = tape.gradient(up, x_f)
+            u_xx = tape.gradient(u_x, x_f)
+            u_t = tape.gradient(up, t_f)
+            del tape
+            f = u_t + up * u_x - nu * u_xx
+            loss = (tf.reduce_mean(tf.square(u - model(X_u)))
+                    + tf.reduce_mean(tf.square(f)))
+        grads = outer.gradient(loss, model.trainable_variables)
+        opt.apply_gradients(zip(grads, model.trainable_variables))
+        return loss
+
+    one_step()  # warmup
+    t0 = time.time()
+    for _ in range(steps):
+        one_step()
+    sps = steps / (time.time() - t0)
+    log(f"  tf eager baseline steps/s: {sps:.2f}")
+    return sps
+
+
+def main():
+    smoke = "--smoke" in sys.argv
+    skip_tf = "--no-tf" in sys.argv
+    adam_sps, lbfgs_ips, n_f, backend = measure_ours(smoke)
+
+    tf_sps = None if skip_tf else measure_tf_baseline(n_f, steps=2 if smoke else 3)
+    if tf_sps is None:
+        tf_sps = BASELINE_FALLBACK
+
+    print(json.dumps({
+        "metric": "burgers_train_steps_per_sec",
+        "value": round(adam_sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(adam_sps / tf_sps, 2),
+        "backend": backend,
+        "lbfgs_iters_per_sec": round(lbfgs_ips, 2),
+        "residual_evals_per_sec_per_chip": round(adam_sps * n_f, 0),
+        "tf_eager_cpu_baseline_steps_per_sec": round(tf_sps, 3),
+        "n_f": n_f,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend
+(SURVEY.md §4(e))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn.models import mlp
+from pinn.parallel import (make_mesh, pad_points_with_weights, replicate,
+                           shard_points)
+from pinn.problems import burgers
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def _setup(dtype=jnp.float32):
+    params = mlp.init_mlp(jax.random.PRNGKey(0), [2, 16, 16, 1], dtype)
+    lb = jnp.array([-1.0, 0.0], dtype)
+    ub = jnp.array([1.0, 1.0], dtype)
+    rng = np.random.RandomState(0)
+    batch = {
+        "X_u": jnp.asarray(rng.rand(16, 2), dtype),
+        "u": jnp.asarray(rng.rand(16, 1), dtype),
+        "X_f": jnp.asarray(rng.rand(64, 2), dtype),
+    }
+    nu = 0.01 / np.pi
+
+    def loss_fn(p, b):
+        return burgers.loss_cont_inference(p, b["X_u"], b["u"], b["X_f"],
+                                           lb, ub, nu)
+
+    return params, batch, loss_fn
+
+
+def test_sharded_loss_matches_single_device(mesh):
+    params, batch, loss_fn = _setup()
+    base = float(jax.jit(loss_fn)(params, batch))
+
+    sharded_batch = {k: shard_points(v, mesh) for k, v in batch.items()}
+    sharded_params = replicate(params, mesh)
+    sharded = float(jax.jit(loss_fn)(sharded_params, sharded_batch))
+    np.testing.assert_allclose(sharded, base, rtol=1e-6)
+
+
+def test_sharded_grad_matches_single_device(mesh):
+    params, batch, loss_fn = _setup()
+    g_base = jax.jit(jax.grad(loss_fn))(params, batch)
+
+    sharded_batch = {k: shard_points(v, mesh) for k, v in batch.items()}
+    g_shard = jax.jit(jax.grad(loss_fn))(replicate(params, mesh), sharded_batch)
+    for (gw1, gb1), (gw2, gb2) in zip(g_base, g_shard):
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_pad_points_with_weights():
+    X = np.arange(10, dtype=np.float64).reshape(5, 2)
+    Xp, w = pad_points_with_weights(X, 4)
+    assert Xp.shape == (8, 2)
+    assert w.shape == (8,)
+    np.testing.assert_allclose(w.sum(), 1.0)
+    assert (w[5:] == 0).all()
+    # Weighted sum over padded points == plain mean over real points.
+    vals = (Xp ** 2).sum(axis=1)
+    np.testing.assert_allclose((vals * w).sum(), (X ** 2).sum(axis=1).mean())
+
+
+def test_weighted_residual_loss_with_padding(mesh):
+    """Masked padded collocation equals the unpadded mean."""
+    dtype = jnp.float64
+    params = mlp.init_mlp(jax.random.PRNGKey(1), [2, 8, 1], dtype)
+    lb = jnp.array([-1.0, 0.0], dtype)
+    ub = jnp.array([1.0, 1.0], dtype)
+    rng = np.random.RandomState(1)
+    X_u = jnp.asarray(rng.rand(4, 2), dtype)
+    u = jnp.asarray(rng.rand(4, 1), dtype)
+    X_f = rng.rand(13, 2)  # deliberately not divisible by 8
+    nu = 0.01 / np.pi
+
+    plain = burgers.loss_cont_inference(
+        params, X_u, u, jnp.asarray(X_f, dtype), lb, ub, nu)
+
+    Xp, w = pad_points_with_weights(X_f, 8)
+    padded = burgers.loss_cont_inference(
+        params, X_u, u, shard_points(jnp.asarray(Xp, dtype), mesh),
+        lb, ub, nu, f_weights=shard_points(jnp.asarray(w, dtype), mesh))
+    np.testing.assert_allclose(float(padded), float(plain), rtol=1e-12)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
