@@ -32,9 +32,16 @@ def setup(seed: int = 1234):
 
 def resolve_dtype(hp):
     """hp['dtype'] in {'float32','float64','bfloat16'}; default f32
-    (TPU-native), f64 enables x64 for reference-parity runs."""
+    (TPU-native), f64 enables x64 for reference-parity runs.
+
+    For f32 the default TPU matmul path rounds operands to bfloat16 on
+    the MXU; PINN residuals are second derivatives and that noise floor
+    corrupts L-BFGS curvature pairs, so full-f32 matmuls are forced
+    (tiny nets — the cost is negligible)."""
     import jax.numpy as jnp
     name = hp.get("dtype", "float32")
     if name == "float64":
         jax.config.update("jax_enable_x64", True)
+    else:
+        jax.config.update("jax_default_matmul_precision", "highest")
     return jnp.dtype(name)

@@ -37,6 +37,9 @@ DEFAULT_HP = {
     "nt_epochs": 0,
     "nt_lr": 1.2,
     "nt_ncorr": 50,
+    "nt_line_search": "armijo",  # deviation from the reference's fixed
+    # step: stable for long quasi-Newton runs (the fixed step diverges
+    # past a few hundred iterations; set "none" for strict parity)
     "log_frequency": 10,
 }
 

@@ -1,0 +1,119 @@
+"""Object-oriented compatibility facade.
+
+Users of the reference subclass ``NeuralNetwork`` (reference
+utils/neuralnetwork.py) and override ``loss``/``f_model``; this module
+offers the same surface — ``fit(X_u, u)``, ``predict``,
+``get_weights``/``set_weights`` (flat vector, same element order),
+``get_params``, ``summary``, ``tensor`` — on top of the functional
+core.  The one JAX-necessitated change: the overridable ``loss`` is a
+*pure function of an explicit params pytree*,
+
+    class MyPINN(PhysicsInformedNN):
+        def loss(self, params, batch):
+            u_pred = self.apply(params, batch["X_u"])
+            return jnp.mean((batch["u"] - u_pred) ** 2) + ...
+
+because jit/grad trace it (mutating ``self`` inside would silently not
+train).  Everything else matches the reference call-for-call.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn import params as pcodec
+from pinn.dtypes import default_dtype
+from pinn.models import mlp
+from pinn.train import Trainer
+from pinn.utils.logger import Logger
+
+
+class PhysicsInformedNN:
+    """Reference-shaped base class (reference utils/neuralnetwork.py:7-159)."""
+
+    def __init__(self, hp: dict, logger: Optional[Logger], ub, lb,
+                 dtype=None, seed: int = 1234):
+        self.hp = hp
+        self.logger = logger
+        self.dtype = dtype or default_dtype()
+        self.lb = jnp.asarray(lb, self.dtype)
+        self.ub = jnp.asarray(ub, self.dtype)
+        self.layers = list(hp["layers"])
+        self.params = mlp.init_mlp(jax.random.PRNGKey(seed), self.layers,
+                                   self.dtype)
+        self._unravel = pcodec.make_unravel(self.params)
+        self._predict_jit = jax.jit(
+            lambda p, X: mlp.apply(p, X, self.lb, self.ub))
+        self.trainer: Optional[Trainer] = None
+
+    # -- overridables ------------------------------------------------------
+    def loss(self, params, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Default: plain data MSE (reference neuralnetwork.py:51-52)."""
+        u_pred = self.apply(params, batch["X_u"])
+        return jnp.mean(jnp.square(batch["u"] - u_pred))
+
+    def extra_batch(self) -> Dict[str, jnp.ndarray]:
+        """Additional arrays the loss needs (collocation points etc.)."""
+        return {}
+
+    def epoch_extra(self, params) -> str:
+        """Per-log-line suffix (identification subclasses print lambdas)."""
+        return ""
+
+    # -- building blocks for subclass losses ------------------------------
+    def apply(self, params, X):
+        return mlp.apply(params, X, self.lb, self.ub)
+
+    def taylor(self, params, X, v1, v2=None, order: int = 2):
+        return mlp.taylor_apply(params, X, self.lb, self.ub, v1, v2, order)
+
+    # -- reference API surface ---------------------------------------------
+    def tensor(self, X) -> jnp.ndarray:
+        return jnp.asarray(X, self.dtype)
+
+    def fit(self, X_u, u):
+        batch = {"X_u": self.tensor(X_u), "u": self.tensor(u),
+                 **self.extra_batch()}
+        self.trainer = Trainer(
+            lambda p, b: self.loss(p, b), self.params, batch, self.hp,
+            self.logger,
+            epoch_extra=(lambda p: self.epoch_extra(p)))
+        # Keep self.params live during training so error_fn closures
+        # (logger.set_error_fn) see the current iterate, as in the
+        # reference where the Keras model mutates in place.
+        trainer = self.trainer
+        orig_log = trainer._log
+
+        def log_and_sync(method, *args, **kw):
+            self.params = trainer.params
+            orig_log(method, *args, **kw)
+
+        trainer._log = log_and_sync
+        self.params = trainer.fit()
+        return self.params
+
+    def predict(self, X_star) -> np.ndarray:
+        return np.asarray(self._predict_jit(self.params,
+                                            self.tensor(X_star)))
+
+    def get_weights(self) -> jnp.ndarray:
+        """Flat parameter vector, reference element order."""
+        return pcodec.ravel(self.params)
+
+    def set_weights(self, w) -> None:
+        self.params = self._unravel(jnp.asarray(w, self.dtype))
+
+    def get_params(self, numpy: bool = False):
+        """PDE coefficients (empty for plain inference, as in the
+        reference base class)."""
+        return []
+
+    def summary(self) -> str:
+        n = pcodec.num_params(self.params)
+        lines = [f"PhysicsInformedNN {self.layers} "
+                 f"({n} parameters, dtype={jnp.dtype(self.dtype).name})"]
+        return "\n".join(lines)

@@ -1,0 +1,129 @@
+"""Pallas TPU kernel: fused Burgers residual evaluation.
+
+One kernel evaluates the full PINN residual ``u_t + u u_x - nu u_xx``
+for a tile of collocation points: the MLP forward pass and all three
+Taylor-mode derivative streams (see ``pinn.models.mlp.taylor_apply``)
+run back-to-back in VMEM — weights are loaded once per tile and every
+intermediate stays on-chip, i.e. a single HBM pass over the points
+(the XLA version materializes inter-layer activations through HBM when
+fusion breaks across the 4 parallel streams).
+
+Forward/eval path only: training uses the differentiable pure-JAX
+Taylor engine; this kernel serves the residual-throughput eval path
+(the BASELINE.md "residual evals/sec/chip" metric) and is
+correctness-tested against the JAX engine (tests/test_pallas.py).
+
+Kernel checklist per the Pallas TPU guide: tiles of 512 points on the
+second-to-last dim, full weights in VMEM (KB-scale), grid over point
+tiles, biases/direction rows kept 2-D, ``preferred_element_type`` on
+every MXU dot.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512
+
+
+def _residual_kernel(n_hidden: int, nu: float, x_ref, *refs):
+    """refs layout: [scale(1,2), lbub(2,2)] + [W_i, b_i]*L + [out]."""
+    scale_ref = refs[0]
+    lbub_ref = refs[1]
+    wref = refs[2:-1]
+    out_ref = refs[-1]
+
+    lb = lbub_ref[0:1, :]   # (1, 2)
+    ub = lbub_ref[1:2, :]
+    x = x_ref[:]            # (TILE, 2)
+    a = 2.0 * (x - lb) / (ub - lb) - 1.0
+
+    scale = scale_ref[:]    # (1, 2) = 2/(ub-lb)
+    # Unit-direction rows via iota masks (scatter isn't lowerable on TPU).
+    col = jax.lax.broadcasted_iota(jnp.int32, scale.shape, 1)
+    vx = jnp.where(col == 0, scale, 0.0)
+    vt = jnp.where(col == 1, scale, 0.0)
+
+    # First affine layer: constant-row tangents fold into (1,din)@W.
+    w, b = wref[0][:], wref[1][:]
+    z = jnp.dot(a, w, preferred_element_type=jnp.float32) + b
+    z1 = jnp.dot(vx, w, preferred_element_type=jnp.float32)
+    z2 = jnp.dot(vt, w, preferred_element_type=jnp.float32)
+
+    a = jnp.tanh(z)
+    sp = 1.0 - a * a
+    a1 = sp * z1
+    a11 = (-2.0 * a * sp) * z1 * z1
+    a2 = sp * z2
+
+    for i in range(1, n_hidden):
+        w, b = wref[2 * i][:], wref[2 * i + 1][:]
+        z = jnp.dot(a, w, preferred_element_type=jnp.float32) + b
+        z1 = jnp.dot(a1, w, preferred_element_type=jnp.float32)
+        z11 = jnp.dot(a11, w, preferred_element_type=jnp.float32)
+        z2 = jnp.dot(a2, w, preferred_element_type=jnp.float32)
+        a = jnp.tanh(z)
+        sp = 1.0 - a * a
+        spp = -2.0 * a * sp
+        a1 = sp * z1
+        a11 = spp * z1 * z1 + sp * z11
+        a2 = sp * z2
+
+    w, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+    u = jnp.dot(a, w, preferred_element_type=jnp.float32) + b
+    u_x = jnp.dot(a1, w, preferred_element_type=jnp.float32)
+    u_xx = jnp.dot(a11, w, preferred_element_type=jnp.float32)
+    u_t = jnp.dot(a2, w, preferred_element_type=jnp.float32)
+
+    out_ref[:] = u_t + u * u_x - nu * u_xx
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+def burgers_residual(params, X_f, lb, ub, nu: float,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused residual at collocation points, (N, 1).
+
+    N is padded to a TILE multiple internally; callers get the first N
+    rows back.  float32 only (the kernel is the TPU fast path).
+    """
+    n = X_f.shape[0]
+    n_pad = (-n) % TILE
+    Xp = jnp.pad(X_f, ((0, n_pad), (0, 0)))
+    n_total = n + n_pad
+    n_hidden = len(params) - 1
+
+    lbub = jnp.stack([jnp.asarray(lb, X_f.dtype),
+                      jnp.asarray(ub, X_f.dtype)])           # (2, 2)
+    scale = (2.0 / (lbub[1] - lbub[0]))[None, :]             # (1, 2)
+
+    weight_args = []
+    weight_specs = []
+    for w, b in params:
+        weight_args += [w, b.reshape(1, -1)]
+        weight_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                         pl.BlockSpec(memory_space=pltpu.VMEM)]
+
+    kernel = functools.partial(_residual_kernel, n_hidden, nu)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # X tile
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # lbub
+        ] + weight_specs,
+        out_specs=pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_total, 1), X_f.dtype),
+        interpret=interpret,
+    )(Xp, scale, lbub, *weight_args)
+    return out[:n]

@@ -58,9 +58,21 @@ class LbfgsConfig(NamedTuple):
     tol_fun: float = float(np.finfo(np.float64).eps)
     tol_x: float = 1e-19
     max_eval: int = 0  # 0 -> 1.25 * max_iter, as in the reference
+    # "none": the reference's fixed-step rule (custom_lbfgs.py has no
+    # line search).  "armijo": backtracking sufficient-decrease search —
+    # the fixed step diverges beyond a few hundred iterations on PINN
+    # losses, so the long-run configurations use this (the Raissi paper
+    # itself relied on a line-searched L-BFGS).
+    line_search: str = "none"
+    ls_c1: float = 1e-4          # Armijo sufficient-decrease constant
+    ls_backtracks: int = 25      # max step halvings per iteration
 
     def resolved_max_eval(self) -> int:
-        return self.max_eval or int(self.max_iter * 1.25)
+        if self.max_eval:
+            return self.max_eval
+        if self.line_search == "none":
+            return int(self.max_iter * 1.25)
+        return self.max_iter * (self.ls_backtracks + 2)
 
 
 class LbfgsState(NamedTuple):
@@ -183,17 +195,51 @@ def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
     gtd = jnp.vdot(state.g, d)
     no_progress = gtd > -config.tol_x
 
-    # ---- step size (reference custom_lbfgs.py:159-163) ----
+    # ---- step size ----
     g_abs_sum = jnp.sum(jnp.abs(state.g))
-    t = jnp.where(first,
-                  jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
-                  jnp.asarray(config.learning_rate, dt))
+    if config.line_search == "none":
+        # Reference rule (custom_lbfgs.py:159-163): damped first step,
+        # then the fixed learning rate.
+        t = jnp.where(first,
+                      jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
+                      jnp.asarray(config.learning_rate, dt))
+        x_new = state.x + t * d
+        f_new, g_new = opfunc(x_new, batch)
+        ls_evals = jnp.int32(1)
+    elif config.line_search == "armijo":
+        # Backtracking from the natural quasi-Newton step t=1 until the
+        # sufficient-decrease condition f(x+td) <= f + c1 t g·d holds.
+        t0 = jnp.where(first,
+                       jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
+                       jnp.asarray(1.0, dt))
+        c1 = jnp.asarray(config.ls_c1, dt)
 
-    x_new = state.x + t * d
-    f_new, g_new = opfunc(x_new, batch)
+        def ls_cond(carry):
+            t, f_t, g_t, it = carry
+            armijo_ok = f_t <= state.f + c1 * t * gtd
+            return jnp.logical_and(jnp.logical_not(armijo_ok),
+                                   it < config.ls_backtracks)
+
+        def ls_body(carry):
+            t, _, _, it = carry
+            t = t * 0.5
+            f_t, g_t = opfunc(state.x + t * d, batch)
+            return t, f_t, g_t, it + 1
+
+        f_t0, g_t0 = opfunc(state.x + t0 * d, batch)
+        t, f_new, g_new, n_ls = jax.lax.while_loop(
+            ls_cond, ls_body, (t0, f_t0, g_t0, jnp.int32(0)))
+        x_new = state.x + t * d
+        ls_evals = n_ls + 1
+        # Backtracking exhausted without sufficient decrease: treat as
+        # no-progress (keep the old iterate and stop).
+        no_progress = jnp.logical_or(
+            no_progress, f_new > state.f + c1 * t * gtd)
+    else:
+        raise ValueError(f"unknown line_search {config.line_search!r}")
 
     # ---- convergence checks on the new point ----
-    n_evals = state.n_evals + 1
+    n_evals = state.n_evals + ls_evals
     reason = jnp.int32(RUNNING)
     reason = jnp.where(jnp.abs(f_new - state.f) < config.tol_x,
                        jnp.int32(F_TOL), reason)

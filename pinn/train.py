@@ -31,6 +31,7 @@ def lbfgs_config_from_hp(hp: dict) -> lb.LbfgsConfig:
         max_iter=hp.get("nt_epochs", 0),
         n_correction=hp.get("nt_ncorr", 50),
         tol_fun=float(np.finfo(np.float64).eps),
+        line_search=hp.get("nt_line_search", "none"),
     )
 
 
@@ -45,6 +46,12 @@ class Trainer:
     the identification experiments use it to print lambda values
     (reference ide_disc_burgers.py:165-168).
     """
+
+    # Compiled steps per device dispatch. Capped: very long lax.scan /
+    # while_loop bodies inflate XLA compile time enormously on the
+    # remote TPU compile service, and >100 steps per dispatch buys no
+    # measurable throughput.
+    CHUNK_CAP = 100
 
     def __init__(self, loss_fn: Callable[[Any, Any], jnp.ndarray], params0,
                  batch: Any, hp: dict, logger: Optional[Logger] = None,
@@ -75,13 +82,15 @@ class Trainer:
         opt_state = self.adam.init(self.params)
         done = 0
         while done < self.tf_epochs:
-            chunk = min(self.frequency, self.tf_epochs - done)
+            chunk = min(self.frequency, self.tf_epochs - done,
+                        self.CHUNK_CAP)
             self.params, opt_state, losses = self.adam.run(
                 self.params, opt_state, self.batch, chunk)
             # losses[0] is the loss at epoch `done` (pre-update), i.e.
             # the value the reference logs for that epoch.
-            self._log("log_train_epoch", done, float(losses[0]),
-                      self._extra(), False)
+            if done % self.frequency == 0:
+                self._log("log_train_epoch", done, float(losses[0]),
+                          self._extra(), False)
             done += chunk
 
     def _lbfgs_phase(self):
@@ -98,14 +107,21 @@ class Trainer:
         run = lb.make_lbfgs_run(opfunc, self.nt_config)
         done = 0
         while done < self.nt_config.max_iter and int(state.reason) == lb.RUNNING:
-            chunk = min(self.frequency, self.nt_config.max_iter - done)
+            chunk = min(self.frequency, self.nt_config.max_iter - done,
+                        self.CHUNK_CAP)
             state, f_hist = run(state, self.batch, chunk)
             done += chunk
             self.params = unravel(state.x)
-            self._log("log_train_epoch", done, float(f_hist[-1]),
-                      self._extra(), True)
+            if done % self.frequency == 0:
+                self._log("log_train_epoch", done, float(f_hist[-1]),
+                          self._extra(), True)
         self.params = unravel(state.x)
         self.last_lbfgs_state = state
+        reason = int(state.reason)
+        if reason != lb.RUNNING and self.logger is not None:
+            self.logger._print(
+                f"-- LBFGS stopped after {int(state.n_iter)} iterations: "
+                f"{lb.REASON_NAMES.get(reason, reason)} --")
 
     def fit(self):
         self._log("log_train_start", self)

@@ -1,0 +1,63 @@
+"""Checkpoint / resume.
+
+The reference never saves weights (SURVEY.md §5: only figures + hp.json
+are persisted; the closest artifact is its flat get_weights/set_weights
+codec, reference utils/neuralnetwork.py:68-89).  This module adds real
+checkpointing on top of the same flat-vector layout:
+
+* ``save_npz`` / ``load_npz`` — single-file checkpoints holding the
+  flat parameter vector + layer shapes + hp, loadable without the
+  model object (numpy only).
+* ``save_orbax`` / ``load_orbax`` — pytree checkpoints via orbax for
+  ecosystem interop (optional; gated on the import).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from pinn import params as pcodec
+
+
+def save_npz(path: str, params: Any, hp: Optional[dict] = None,
+             extra: Optional[dict] = None) -> None:
+    """Flat-vector checkpoint: portable, layout = reference codec order."""
+    flat = np.asarray(pcodec.ravel(params))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [list(leaf.shape) for leaf in leaves]
+    meta = {"shapes": shapes, "hp": hp or {}, "extra": extra or {}}
+    np.savez_compressed(path, flat=flat, meta=json.dumps(meta))
+
+
+def load_npz(path: str, like: Any = None) -> Tuple[Any, dict]:
+    """Returns (params, meta).  With ``like`` (a template pytree) the
+    flat vector is unraveled into that structure; otherwise a flat list
+    of arrays with the stored shapes is returned."""
+    d = np.load(path, allow_pickle=False)
+    flat = d["flat"]
+    meta = json.loads(str(d["meta"]))
+    if like is not None:
+        unravel = pcodec.make_unravel(like)
+        return unravel(flat), meta
+    out, off = [], 0
+    for shape in meta["shapes"]:
+        size = int(np.prod(shape)) if shape else 1
+        out.append(flat[off:off + size].reshape(shape))
+        off += size
+    return out, meta
+
+
+def save_orbax(path: str, params: Any) -> None:
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_orbax(path: str, like: Any):
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, like)

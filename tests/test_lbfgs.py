@@ -97,3 +97,33 @@ def test_f_hist_monotone_logging():
     assert hist.shape == (10,)
     assert hist[-1] <= hist[0]
     assert np.isfinite(hist).all()
+
+
+def test_armijo_line_search_rosenbrock_converges():
+    """With backtracking the fixed-step divergence mode disappears and
+    Rosenbrock converges to the optimum."""
+    def opfunc(x, batch=None):
+        f = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+        return f, jax.grad(lambda z: 100.0 * (z[1] - z[0] ** 2) ** 2
+                           + (1 - z[0]) ** 2)(x)
+
+    x0 = jnp.array([-1.2, 1.0], dtype=jnp.float64)
+    config = lb.LbfgsConfig(max_iter=200, n_correction=20,
+                            line_search="armijo")
+    state = lb.minimize(opfunc, x0, config)
+    np.testing.assert_allclose(np.asarray(state.x), [1.0, 1.0], atol=1e-5)
+
+
+def test_armijo_monotone_descent():
+    """Armijo guarantees f never increases across iterations."""
+    opfunc, _ = quad_opfunc(dim=15, seed=7)
+    config = lb.LbfgsConfig(max_iter=30, n_correction=10,
+                            line_search="armijo")
+    state = lb.lbfgs_init(opfunc, jnp.ones(15, dtype=jnp.float64), config)
+    run = lb.make_lbfgs_run(opfunc, config)
+    prev = float(state.f)
+    for _ in range(6):
+        state, hist = run(state, None, 5)
+        cur = float(state.f)
+        assert cur <= prev + 1e-12
+        prev = cur
