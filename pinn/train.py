@@ -13,6 +13,7 @@ so the hot path never leaves the device.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable, Optional
 
 import jax
@@ -47,11 +48,11 @@ class Trainer:
     (reference ide_disc_burgers.py:165-168).
     """
 
-    # Compiled steps per device dispatch. Capped: very long lax.scan /
-    # while_loop bodies inflate XLA compile time enormously on the
-    # remote TPU compile service, and >100 steps per dispatch buys no
-    # measurable throughput.
-    CHUNK_CAP = 100
+    # Compiled steps per device dispatch. Capped low: compile time on
+    # the remote TPU compile service scales with the scan/while body
+    # trip count, and at ~10 ms/iteration a 10-step dispatch already
+    # amortizes host round-trips.
+    CHUNK_CAP = 10
 
     def __init__(self, loss_fn: Callable[[Any, Any], jnp.ndarray], params0,
                  batch: Any, hp: dict, logger: Optional[Logger] = None,
@@ -124,10 +125,18 @@ class Trainer:
                 f"{lb.REASON_NAMES.get(reason, reason)} --")
 
     def fit(self):
-        self._log("log_train_start", self)
-        if self.tf_epochs > 0:
-            self._adam_phase()
-        self._lbfgs_phase()
+        """Run both phases.  With hp["trace_dir"] set, the whole run is
+        captured as a jax.profiler trace (open with TensorBoard or
+        Perfetto) — the reference only had wall-clock prints
+        (SURVEY.md §5 tracing row)."""
+        trace_dir = self.hp.get("trace_dir")
+        ctx = (jax.profiler.trace(trace_dir) if trace_dir
+               else contextlib.nullcontext())
+        with ctx:
+            self._log("log_train_start", self)
+            if self.tf_epochs > 0:
+                self._adam_phase()
+            self._lbfgs_phase()
         self._log("log_train_end",
                   self.tf_epochs + self.nt_config.max_iter, self._extra())
         return self.params

@@ -1,0 +1,65 @@
+"""Logger line-format parity + seed determinism contract."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn.utils import Logger
+from pinn.models import mlp
+
+
+def test_logger_epoch_line_format():
+    """Line shape parity with the reference (utils/logger.py:45-51):
+    '<name> = <6d>  elapsed = MM:SS (+S.S)  loss = X.XXXXe+EE  <custom>'"""
+    lines = []
+    log = Logger({"log_frequency": 5}, print_fn=lines.append)
+    lines.clear()  # drop the constructor's hp/env banner
+    log.log_train_opt("Adam")
+    log.log_train_epoch(0, 1.5, custom="l1 = 0.5")
+    log.log_train_epoch(3, 1.0)          # suppressed (not a multiple of 5)
+    log.log_train_epoch(5, 0.25, is_iter=True)
+    pat = re.compile(
+        r"^(tf|nt)_epoch = +\d+  elapsed = \d{2}:\d{2} \(\+[\d.]+\)  "
+        r"loss = \d\.\d{4}e[+-]\d{2}  .*$")
+    assert lines[0] == "-- Starting Adam optimization --"
+    assert pat.match(lines[1]), lines[1]
+    assert "tf_epoch" in lines[1] and "l1 = 0.5" in lines[1]
+    assert len(lines) == 3  # epoch 3 suppressed
+    assert "nt_epoch" in lines[2]
+
+
+def test_logger_end_line_uses_error_fn():
+    lines = []
+    log = Logger({"log_frequency": 1}, print_fn=lines.append)
+    log.set_error_fn(lambda: 4.2e-3)
+    log.log_train_end(100, custom="x")
+    assert "error = 4.2000e-03" in lines[-1]
+
+
+def test_training_determinism():
+    """Same seed => bit-identical training trajectory (the reference
+    pins np/tf seeds for this, inf_cont_burgers.py:8-10)."""
+    from pinn.train import Trainer
+
+    def make():
+        params = mlp.init_mlp(jax.random.PRNGKey(7), [2, 8, 1], jnp.float32)
+        rng = np.random.RandomState(7)
+        batch = {"X_u": jnp.asarray(rng.rand(10, 2), jnp.float32),
+                 "u": jnp.asarray(rng.rand(10, 1), jnp.float32)}
+        lb, ub = jnp.zeros(2, jnp.float32), jnp.ones(2, jnp.float32)
+
+        def loss_fn(p, b):
+            return jnp.mean((mlp.apply(p, b["X_u"], lb, ub) - b["u"]) ** 2)
+
+        hp = {"tf_epochs": 12, "tf_lr": 0.01, "tf_b1": 0.9, "tf_eps": None,
+              "nt_epochs": 8, "nt_lr": 0.5, "nt_ncorr": 5,
+              "log_frequency": 100}
+        t = Trainer(loss_fn, params, batch, hp, logger=None)
+        return t.fit()
+
+    p1 = make()
+    p2 = make()
+    for (w1, b1), (w2, b2) in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
