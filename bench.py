@@ -52,6 +52,9 @@ def measure_ours(smoke: bool = False):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    # Match the training configuration: full-f32 matmuls (see
+    # experiments/_common.resolve_dtype).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from pinn.models import mlp
     from pinn.problems import burgers
@@ -79,7 +82,9 @@ def measure_ours(smoke: bool = False):
     runner = AdamRunner(loss_fn, hp)
     opt_state = runner.init(params)
 
-    chunk = 20 if smoke else 100
+    # Chunk of 10 matches the Trainer's CHUNK_CAP (remote-compiler
+    # compile time scales with scan trip count; runtime is unaffected).
+    chunk = 10
     log(f"compiling adam chunk ({chunk} steps, N_f={n_f})...")
     t0 = time.time()
     p, s, losses = runner.run(params, opt_state, batch, chunk)
@@ -87,7 +92,7 @@ def measure_ours(smoke: bool = False):
     log(f"  compile+first chunk: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    reps = 2 if smoke else 5
+    reps = 5 if smoke else 50
     for _ in range(reps):
         p, s, losses = runner.run(p, s, batch, chunk)
     jax.block_until_ready(losses)

@@ -25,6 +25,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pinn.dtypes import default_dtype
 
@@ -47,16 +48,22 @@ def init_mlp(key: jax.Array, layers: Sequence[int], dtype=None) -> Params:
     dtype = dtype or default_dtype()
     params = []
     keys = jax.random.split(key, len(layers) - 1)
-    for k, fan_in, fan_out in zip(keys, layers[:-1], layers[1:]):
-        std = jnp.sqrt(2.0 / (fan_in + fan_out)).astype(dtype)
-        w = jax.random.truncated_normal(
-            k, -2.0, 2.0, (fan_in, fan_out), dtype=dtype)
-        # Truncated normal on [-2, 2] has std ~0.8796; rescale so the
-        # weight std matches glorot_normal's sqrt(2 / (fan_in+fan_out)).
-        w = w * (std / 0.87962566103423978)
-        b = jnp.zeros((fan_out,), dtype=dtype)
-        params.append((w, b))
-    return tuple(params)
+    # Init runs on the CPU backend: bit-identical weights across
+    # platforms, and the TPU x64 rewriter lacks the `nextafter` op that
+    # f64 truncated_normal lowers to.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k, fan_in, fan_out in zip(keys, layers[:-1], layers[1:]):
+            std = jnp.sqrt(2.0 / (fan_in + fan_out)).astype(dtype)
+            w = jax.random.truncated_normal(
+                k, -2.0, 2.0, (fan_in, fan_out), dtype=dtype)
+            # Truncated normal on [-2, 2] has std ~0.8796; rescale so the
+            # weight std matches glorot_normal's sqrt(2 / (fan_in+fan_out)).
+            w = w * (std / 0.87962566103423978)
+            b = jnp.zeros((fan_out,), dtype=dtype)
+            params.append((w, b))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a)), tuple(params))
 
 
 def normalize(X: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray) -> jnp.ndarray:

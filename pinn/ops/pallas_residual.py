@@ -86,6 +86,104 @@ def _residual_kernel(n_hidden: int, nu: float, x_ref, *refs):
     out_ref[:] = u_t + u * u_x - nu * u_xx
 
 
+def _residual_kernel_fmajor(n_hidden: int, nu: float, x_ref, *refs):
+    """Features-major variant: activations laid out (features, points).
+
+    Points ride the 128-lane dimension (fully utilized at TILE=512) and
+    the narrow feature dimension sits on sublanes — the natural TPU
+    layout for these 20-wide MLPs, where the points-major layout wastes
+    6.4x of each lane group.  refs: [scale(2,1), lbub(2,2)] +
+    [Wt_i (h_out, h_in), b_i (h_out, 1)]*L + [out (1, TILE)].
+    """
+    scale_ref = refs[0]
+    lbub_ref = refs[1]
+    wref = refs[2:-1]
+    out_ref = refs[-1]
+
+    lb = lbub_ref[:, 0:1]   # (2, 1)
+    ub = lbub_ref[:, 1:2]
+    x = x_ref[:]            # (2, TILE)
+    a = 2.0 * (x - lb) / (ub - lb) - 1.0
+
+    scale = scale_ref[:]    # (2, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, scale.shape, 0)
+    vx = jnp.where(row == 0, scale, 0.0)
+    vt = jnp.where(row == 1, scale, 0.0)
+
+    wt, b = wref[0][:], wref[1][:]
+    z = jnp.dot(wt, a, preferred_element_type=jnp.float32) + b
+    z1 = jnp.broadcast_to(
+        jnp.dot(wt, vx, preferred_element_type=jnp.float32), z.shape)
+    z2 = jnp.broadcast_to(
+        jnp.dot(wt, vt, preferred_element_type=jnp.float32), z.shape)
+
+    a = jnp.tanh(z)
+    sp = 1.0 - a * a
+    a1 = sp * z1
+    a11 = (-2.0 * a * sp) * z1 * z1
+    a2 = sp * z2
+
+    for i in range(1, n_hidden):
+        wt, b = wref[2 * i][:], wref[2 * i + 1][:]
+        z = jnp.dot(wt, a, preferred_element_type=jnp.float32) + b
+        z1 = jnp.dot(wt, a1, preferred_element_type=jnp.float32)
+        z11 = jnp.dot(wt, a11, preferred_element_type=jnp.float32)
+        z2 = jnp.dot(wt, a2, preferred_element_type=jnp.float32)
+        a = jnp.tanh(z)
+        sp = 1.0 - a * a
+        spp = -2.0 * a * sp
+        a1 = sp * z1
+        a11 = spp * z1 * z1 + sp * z11
+        a2 = sp * z2
+
+    wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+    u = jnp.dot(wt, a, preferred_element_type=jnp.float32) + b
+    u_x = jnp.dot(wt, a1, preferred_element_type=jnp.float32)
+    u_xx = jnp.dot(wt, a11, preferred_element_type=jnp.float32)
+    u_t = jnp.dot(wt, a2, preferred_element_type=jnp.float32)
+
+    out_ref[:] = u_t + u * u_x - nu * u_xx
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+def burgers_residual_fmajor(params, X_f, lb, ub, nu: float,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Features-major fused residual (see kernel docstring), (N, 1)."""
+    n = X_f.shape[0]
+    n_pad = (-n) % TILE
+    Xp = jnp.pad(X_f, ((0, n_pad), (0, 0))).T       # (2, n_total)
+    n_total = n + n_pad
+    n_hidden = len(params) - 1
+
+    lbub = jnp.stack([jnp.asarray(lb, X_f.dtype),
+                      jnp.asarray(ub, X_f.dtype)], axis=1)  # (2, 2)
+    scale = (2.0 / (lbub[:, 1] - lbub[:, 0]))[:, None]      # (2, 1)
+
+    weight_args = []
+    weight_specs = []
+    for w, b in params:
+        weight_args += [w.T, b.reshape(-1, 1)]
+        weight_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                         pl.BlockSpec(memory_space=pltpu.VMEM)]
+
+    kernel = functools.partial(_residual_kernel_fmajor, n_hidden, nu)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((2, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),            # X tile
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # lbub
+        ] + weight_specs,
+        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_total), X_f.dtype),
+        interpret=interpret,
+    )(Xp, scale, lbub, *weight_args)
+    return out[0, :n, None]
+
+
 @functools.partial(jax.jit, static_argnames=("nu", "interpret"))
 def burgers_residual(params, X_f, lb, ub, nu: float,
                      interpret: bool = False) -> jnp.ndarray:

@@ -37,3 +37,17 @@ def test_fused_residual_tile_exact_multiple(rng):
                                            interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_fused_residual_fmajor_matches(rng):
+    dtype = jnp.float32
+    params = mlp.init_mlp(rng, [2, 20, 20, 1], dtype)
+    lb = jnp.array([-1.0, 0.0], dtype)
+    ub = jnp.array([1.0, 1.0], dtype)
+    X = jax.random.uniform(jax.random.PRNGKey(3), (700, 2), dtype)
+    ref = burgers.residual_cont(params, X, lb, ub, nu=0.003)
+    out = pallas_residual.burgers_residual_fmajor(params, X, lb, ub, 0.003,
+                                                  interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
