@@ -47,8 +47,10 @@ def measure_ours(smoke: bool = False):
     import numpy as np
 
     try:
+        # Per-backend cache dir (see experiments/_common.py note).
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_comp"))
+                          os.path.expanduser(
+                              f"~/.cache/jax_comp_{jax.default_backend()}"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass

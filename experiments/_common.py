@@ -16,8 +16,12 @@ import numpy as np  # noqa: E402
 # Persistent compilation cache: compiles through the remote TPU tunnel
 # take minutes; cache them across processes.
 try:
+    # Per-backend cache dir: artifacts compiled on the remote TPU
+    # terminal's CPU are not safe to execute on this host's CPU
+    # (mismatched machine features -> SIGILL on load).
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
+                      os.path.expanduser(
+                          f"~/.cache/jax_comp_{jax.default_backend()}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
@@ -40,8 +44,8 @@ def resolve_dtype(hp):
     (tiny nets — the cost is negligible)."""
     import jax.numpy as jnp
     name = hp.get("dtype", "float32")
-    if name == "float64":
+    if name == "float64" or hp.get("nt_vector_dtype") == "float64":
         jax.config.update("jax_enable_x64", True)
-    else:
+    if name != "float64":
         jax.config.update("jax_default_matmul_precision", "highest")
     return jnp.dtype(name)

@@ -1,0 +1,107 @@
+"""Accuracy campaign: run every experiment at a convergence-grade
+config and record rel-L2 / lambda errors + wall-clock into RESULTS.md.
+
+Usage:
+    python experiments/run_campaign.py [names...] [--quick] [--f32]
+
+Default names: all five experiments.  Results append to RESULTS.md at
+the repo root with hardware/backend info, so numbers from different
+machines (TPU chip, CPU) accumulate in one table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from _common import setup  # noqa: F401 (path side effect)
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Convergence-grade configs (the reference defaults stop far short of
+# the paper's accuracy; these run the same problems to convergence).
+CAMPAIGN = {
+    "inf_cont_burgers": {
+        "dtype": "float64", "tf_epochs": 1000, "nt_epochs": 20000,
+        "log_frequency": 2000},
+    "inf_cont_schrodinger": {
+        "dtype": "float64", "tf_epochs": 1000, "tf_lr": 1e-3, "tf_b1": 0.9,
+        "tf_eps": None, "nt_epochs": 10000, "log_frequency": 1000},
+    "inf_disc_burgers": {
+        "dtype": "float64", "tf_epochs": 1000, "nt_epochs": 5000,
+        "log_frequency": 1000},
+    "ide_cont_burgers": {
+        "dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
+        "log_frequency": 1000},
+    "ide_disc_burgers": {
+        "dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
+        "log_frequency": 1000},
+}
+
+QUICK_OVERRIDES = {"tf_epochs": 50, "nt_epochs": 200, "log_frequency": 50}
+
+
+def run_one(name: str, quick: bool, f32: bool) -> dict:
+    mod = __import__(name)
+    hp = dict(CAMPAIGN[name])
+    if quick:
+        hp.update(QUICK_OVERRIDES)
+    if f32:
+        hp["dtype"] = "float32"
+    t0 = time.time()
+    result = mod.run(hp, plot=False)
+    dur = time.time() - t0
+    return {"experiment": name, "error": result["error"],
+            "duration_s": round(dur, 1),
+            "backend": jax.default_backend(),
+            "dtype": hp.get("dtype", "float32"),
+            "tf_epochs": hp["tf_epochs"], "nt_epochs": hp["nt_epochs"],
+            "lambdas": result.get("lambdas"),
+            "lambdas_noisy": result.get("lambdas_noisy")}
+
+
+def append_results(rows):
+    path = os.path.join(REPO, "RESULTS.md")
+    newfile = not os.path.exists(path)
+    with open(path, "a") as fh:
+        if newfile:
+            fh.write("# RESULTS — accuracy campaign runs\n\n"
+                     "| experiment | error | backend | dtype | tf/nt epochs "
+                     "| duration | extras |\n|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            extras = ""
+            if r.get("lambdas"):
+                extras = (f"λ=({r['lambdas'][0]:.5f}, {r['lambdas'][1]:.6f})"
+                          + (f" noisy=({r['lambdas_noisy'][0]:.5f}, "
+                             f"{r['lambdas_noisy'][1]:.6f})"
+                             if r.get("lambdas_noisy") else ""))
+            fh.write(f"| {r['experiment']} | {r['error']:.4e} "
+                     f"| {r['backend']} | {r['dtype']} "
+                     f"| {r['tf_epochs']}/{r['nt_epochs']} "
+                     f"| {r['duration_s']}s | {extras} |\n")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    quick = "--quick" in sys.argv
+    f32 = "--f32" in sys.argv
+    names = args or list(CAMPAIGN)
+    rows = []
+    for name in names:
+        print(f"=== {name} ===", flush=True)
+        try:
+            row = run_one(name, quick, f32)
+        except Exception as e:  # keep the campaign going
+            print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
+            continue
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    append_results(rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,9 +100,31 @@ class Trainer:
         self._log("log_train_opt", "LBFGS")
         flat, unravel = pcodec.ravel_with_unravel(self.params)
 
-        def opfunc(w, batch):
-            return jax.value_and_grad(
-                lambda w_: self.loss_fn(unravel(w_), batch))(w)
+        # Mixed precision: hp["nt_vector_dtype"]="float64" keeps the
+        # L-BFGS iterate/gradient/history algebra in f64 (the
+        # curvature pair y = g - g_old is cancellation-prone) while the
+        # expensive network/residual evaluation stays in the model
+        # dtype.  Requires jax x64 mode.
+        vec_dtype = self.hp.get("nt_vector_dtype")
+        net_dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
+        if vec_dtype is not None and jnp.dtype(vec_dtype) != net_dtype:
+            vec_dtype = jnp.dtype(vec_dtype)
+            flat = flat.astype(vec_dtype)
+
+            def opfunc(w, batch):
+                def cast_loss(w_):
+                    p = unravel(w_.astype(net_dtype))
+                    return self.loss_fn(p, batch).astype(vec_dtype)
+                return jax.value_and_grad(cast_loss)(w)
+
+            def to_params(x):
+                return unravel(x.astype(net_dtype))
+        else:
+            def opfunc(w, batch):
+                return jax.value_and_grad(
+                    lambda w_: self.loss_fn(unravel(w_), batch))(w)
+
+            to_params = unravel
 
         state = lb.lbfgs_init(opfunc, flat, self.nt_config, self.batch)
         run = lb.make_lbfgs_run(opfunc, self.nt_config)
@@ -112,11 +134,11 @@ class Trainer:
                         self.CHUNK_CAP)
             state, f_hist = run(state, self.batch, chunk)
             done += chunk
-            self.params = unravel(state.x)
+            self.params = to_params(state.x)
             if done % self.frequency == 0:
                 self._log("log_train_epoch", done, float(f_hist[-1]),
                           self._extra(), True)
-        self.params = unravel(state.x)
+        self.params = to_params(state.x)
         self.last_lbfgs_state = state
         reason = int(state.reason)
         if reason != lb.RUNNING and self.logger is not None:

@@ -63,3 +63,28 @@ def test_training_determinism():
     p2 = make()
     for (w1, b1), (w2, b2) in zip(p1, p2):
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_mixed_precision_lbfgs_runs_and_descends():
+    """f32 network + f64 L-BFGS vector algebra (nt_vector_dtype)."""
+    from pinn.train import Trainer
+
+    params = mlp.init_mlp(jax.random.PRNGKey(3), [2, 8, 1], jnp.float32)
+    rng = np.random.RandomState(3)
+    batch = {"X_u": jnp.asarray(rng.rand(16, 2), jnp.float32),
+             "u": jnp.asarray(rng.rand(16, 1), jnp.float32)}
+    lb, ub = jnp.zeros(2, jnp.float32), jnp.ones(2, jnp.float32)
+
+    def loss_fn(p, b):
+        return jnp.mean((mlp.apply(p, b["X_u"], lb, ub) - b["u"]) ** 2)
+
+    hp = {"tf_epochs": 0, "nt_epochs": 40, "nt_lr": 1.0, "nt_ncorr": 10,
+          "nt_line_search": "armijo", "nt_vector_dtype": "float64",
+          "log_frequency": 100}
+    t = Trainer(loss_fn, params, batch, hp, logger=None)
+    loss0 = float(loss_fn(params, batch))
+    p = t.fit()
+    assert float(loss_fn(p, batch)) < 0.2 * loss0
+    # Network params stay f32; optimizer state was f64.
+    assert p[0][0].dtype == jnp.float32
+    assert t.last_lbfgs_state.x.dtype == jnp.float64
