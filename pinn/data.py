@@ -183,7 +183,7 @@ def burgers_disc_inference(N_n: int, q: int, lb: np.ndarray, ub: np.ndarray,
     are generated (pinn.irk), not loaded from the missing submodule."""
     x, t, usol = load_burgers(path)
     Exact_u = usol.T
-    dt = float(t[idx_t_1] - t[idx_t_0])
+    dt = float(t[idx_t_1, 0] - t[idx_t_0, 0])
     idx_x = np.random.choice(Exact_u.shape[1], N_n, replace=False)
     x_0 = x[idx_x, :]
     u_0 = Exact_u[idx_t_0:idx_t_0 + 1, idx_x].T
@@ -225,7 +225,7 @@ def burgers_disc_identification(N_0: int, N_1: int, idx_t_0: int, idx_t_1: int,
     u_1 = Exact_u[idx_x, idx_t_1][:, None]
     u_1 = u_1 + noise * np.std(u_1) * np.random.randn(*u_1.shape)
 
-    dt = float(t[idx_t_1] - t[idx_t_0])
+    dt = float(t[idx_t_1, 0] - t[idx_t_0, 0])
     q = irk.auto_stages(dt)
     weights, _ = irk.irk_weights(q)
     return BurgersDiscIdeData(x_0, u_0, x_1, u_1, x, t, dt, q, Exact_u,

@@ -66,6 +66,10 @@ class LbfgsConfig(NamedTuple):
     line_search: str = "none"
     ls_c1: float = 1e-4          # Armijo sufficient-decrease constant
     ls_backtracks: int = 25      # max step halvings per iteration
+    # On a non-descent direction (g·d > -tolX) the reference stops; with
+    # restart=True the history is cleared and the next iteration retries
+    # from steepest descent, stopping only if that also fails.
+    restart: bool = False
 
     def resolved_max_eval(self) -> int:
         if self.max_eval:
@@ -194,6 +198,8 @@ def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
 
     gtd = jnp.vdot(state.g, d)
     no_progress = gtd > -config.tol_x
+    soft_restart = jnp.logical_and(
+        no_progress, jnp.logical_and(bool(config.restart), k > 0))
 
     # ---- step size ----
     g_abs_sum = jnp.sum(jnp.abs(state.g))
@@ -252,14 +258,20 @@ def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
     non_finite = jnp.logical_not(jnp.isfinite(f_new))
     reason = jnp.where(non_finite, jnp.int32(NON_FINITE), reason)
     reason = jnp.where(no_progress, jnp.int32(NO_PROGRESS), reason)
+    # Soft restart: stay RUNNING with cleared history.
+    reason = jnp.where(soft_restart, jnp.int32(RUNNING), reason)
 
     new_state = LbfgsState(
         x=x_new, f=f_new, g=g_new, d=d, t=t,
         f_old=state.f, g_old=state.g,
-        S=S, Y=Y, hdiag=hdiag, k=k, head=head,
+        S=S, Y=Y, hdiag=hdiag,
+        k=jnp.where(soft_restart, 0, k),
+        head=jnp.where(soft_restart, 0, head),
         n_iter=state.n_iter + 1, n_evals=n_evals,
         reason=reason,
     )
+    new_state = new_state._replace(
+        hdiag=jnp.where(soft_restart, jnp.ones_like(hdiag), new_state.hdiag))
 
     # On no-progress the reference breaks BEFORE stepping; keep the old
     # iterate in that case.  Same treatment on divergence to NaN/inf

@@ -33,6 +33,11 @@ def lbfgs_config_from_hp(hp: dict) -> lb.LbfgsConfig:
         n_correction=hp.get("nt_ncorr", 50),
         tol_fun=float(np.finfo(np.float64).eps),
         line_search=hp.get("nt_line_search", "none"),
+        # With a line search, restart (clear history) on non-descent
+        # directions instead of stopping; strict-parity "none" keeps
+        # the reference's stop-on-no-progress behavior.
+        restart=hp.get("nt_restart",
+                       hp.get("nt_line_search", "none") != "none"),
     )
 
 

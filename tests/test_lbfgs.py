@@ -127,3 +127,30 @@ def test_armijo_monotone_descent():
         cur = float(state.f)
         assert cur <= prev + 1e-12
         prev = cur
+
+
+def test_soft_restart_continues_after_bad_direction():
+    """With restart=True a manufactured non-descent event clears the
+    history and continues; without it the optimizer stops."""
+    opfunc, x_star = quad_opfunc(dim=10, seed=9)
+
+    def run_with(restart):
+        config = lb.LbfgsConfig(max_iter=60, n_correction=5,
+                                line_search="armijo", restart=restart)
+        state = lb.lbfgs_init(opfunc, jnp.ones(10, dtype=jnp.float64),
+                              config)
+        # Poison the history with a garbage (s, y) pair that produces an
+        # ascent direction.
+        S = state.S.at[0].set(jnp.ones(10))
+        Y = state.Y.at[0].set(-jnp.ones(10))
+        state = state._replace(S=S, Y=Y, k=jnp.int32(1), head=jnp.int32(1),
+                               n_iter=jnp.int32(1))
+        run = lb.make_lbfgs_run(opfunc, config)
+        return run(state, None, 50)[0]
+
+    stopped = run_with(False)
+    recovered = run_with(True)
+    assert int(stopped.reason) == lb.NO_PROGRESS
+    assert float(recovered.f) < float(stopped.f)
+    np.testing.assert_allclose(np.asarray(recovered.x), np.asarray(x_star),
+                               rtol=1e-5, atol=1e-7)
