@@ -49,3 +49,23 @@ def resolve_dtype(hp):
     if name != "float64":
         jax.config.update("jax_default_matmul_precision", "highest")
     return jnp.dtype(name)
+
+
+def maybe_load_params(hp, params):
+    """hp["init_checkpoint"]: warm-start from a saved flat-vector npz
+    (two-stage precision schedules, resumed runs)."""
+    path = hp.get("init_checkpoint")
+    if path:
+        from pinn.utils import checkpoint
+        params, _ = checkpoint.load_npz(path, like=params)
+        print(f"Loaded initial parameters from {path}")
+    return params
+
+
+def maybe_save_params(hp, params):
+    """hp["save_checkpoint"]: persist the trained parameters."""
+    path = hp.get("save_checkpoint")
+    if path:
+        from pinn.utils import checkpoint
+        checkpoint.save_npz(path, params, hp=hp)
+        print(f"Saved checkpoint to {path}")

@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import sys
 
-from _common import setup, resolve_dtype  # noqa: F401
+from _common import (setup, resolve_dtype, maybe_load_params,  # noqa: F401
+                     maybe_save_params)
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,7 @@ def train_once(hp, dtype, noise: float, logger):
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
     params0 = burgers.init_ide_params(net, dtype)
+    params0 = maybe_load_params(hp, params0)
 
     def loss_fn(p, b):
         return burgers.loss_disc_identification(
@@ -91,6 +93,7 @@ def train_once(hp, dtype, noise: float, logger):
                       epoch_extra=epoch_extra)
     logger.set_error_fn(lambda: lambda_error(trainer.params))
     params = trainer.fit()
+    maybe_save_params(hp, params)
     return params, data, lbj, ubj
 
 

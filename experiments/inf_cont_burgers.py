@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import sys
 
-from _common import setup, resolve_dtype  # noqa: F401 (path side effect)
+from _common import (setup, resolve_dtype, maybe_load_params,  # noqa: F401
+                     maybe_save_params)
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,7 @@ def run(hp=None, plot=False, save_path=None):
     nu = 0.01 / np.pi
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
+    net = maybe_load_params(hp, net)
 
     batch = {"X_u": X_u, "u": u, "X_f": X_f}
 
@@ -78,6 +80,7 @@ def run(hp=None, plot=False, save_path=None):
 
     logger.set_error_fn(error)
     params = trainer.fit()
+    maybe_save_params(hp, params)
 
     u_pred = np.asarray(predict_u(params, X_star))
     rel_l2 = error()

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import sys
 
-from _common import setup, resolve_dtype  # noqa: F401
+from _common import (setup, resolve_dtype, maybe_load_params,  # noqa: F401
+                     maybe_save_params)
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,7 @@ def run(hp=None, plot=False, save_path=None):
     X_star = jnp.asarray(data.X_star, dtype)
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
+    net = maybe_load_params(hp, net)
 
     def loss_fn(p, b):
         return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"], b["X_ub"],
@@ -97,6 +99,7 @@ def run(hp=None, plot=False, save_path=None):
 
     logger.set_error_fn(error)
     params = trainer.fit()
+    maybe_save_params(hp, params)
 
     H = np.asarray(predict_h(params, X_star))
     u_pred, v_pred = H[:, 0:1], H[:, 1:2]

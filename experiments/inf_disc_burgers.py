@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import sys
 
-from _common import setup, resolve_dtype  # noqa: F401
+from _common import (setup, resolve_dtype, maybe_load_params,  # noqa: F401
+                     maybe_save_params)
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,7 @@ def run(hp=None, plot=False, save_path=None):
              "x_1": jnp.asarray(data.x_1, dtype)}
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
+    net = maybe_load_params(hp, net)
 
     def loss_fn(p, b):
         return burgers.loss_disc_inference(
@@ -87,6 +89,7 @@ def run(hp=None, plot=False, save_path=None):
 
     logger.set_error_fn(error)
     params = trainer.fit()
+    maybe_save_params(hp, params)
     u_1_pred = np.asarray(predict_u1(params, x_star))
     rel_l2 = error()
 

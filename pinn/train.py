@@ -61,8 +61,19 @@ class Trainer:
 
     def __init__(self, loss_fn: Callable[[Any, Any], jnp.ndarray], params0,
                  batch: Any, hp: dict, logger: Optional[Logger] = None,
-                 epoch_extra: Optional[Callable[[Any], str]] = None):
+                 epoch_extra: Optional[Callable[[Any], str]] = None,
+                 mesh=None):
         self.loss_fn = loss_fn
+        if mesh is not None:
+            # Shard every batch array along its leading (point) axis and
+            # replicate the KB-scale params; GSPMD inserts the ICI
+            # reductions for the loss means. Leading dims must divide
+            # the mesh size (use pinn.parallel.pad_points_with_weights
+            # plus loss f_weights otherwise).
+            from pinn.parallel import replicate, shard_points
+            batch = jax.tree_util.tree_map(
+                lambda a: shard_points(a, mesh), batch)
+            params0 = replicate(params0, mesh)
         self.batch = batch
         self.params = params0
         self.hp = hp

@@ -95,3 +95,32 @@ def test_weighted_residual_loss_with_padding(mesh):
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_trainer_sharded_matches_single_device(mesh):
+    """Full Adam+LBFGS trajectory identical with and without a mesh."""
+    from pinn.train import Trainer
+
+    def build(m):
+        params = mlp.init_mlp(jax.random.PRNGKey(5), [2, 8, 1], jnp.float32)
+        rng = np.random.RandomState(5)
+        batch = {"X_u": jnp.asarray(rng.rand(16, 2), jnp.float32),
+                 "u": jnp.asarray(rng.rand(16, 1), jnp.float32),
+                 "X_f": jnp.asarray(rng.rand(32, 2), jnp.float32)}
+        lb = jnp.array([0.0, 0.0], jnp.float32)
+        ub = jnp.array([1.0, 1.0], jnp.float32)
+
+        def loss_fn(p, b):
+            return burgers.loss_cont_inference(
+                p, b["X_u"], b["u"], b["X_f"], lb, ub, 0.01)
+
+        hp = {"tf_epochs": 10, "tf_lr": 0.01, "tf_b1": 0.9, "tf_eps": None,
+              "nt_epochs": 10, "nt_lr": 1.0, "nt_ncorr": 5,
+              "nt_line_search": "armijo", "log_frequency": 100}
+        return Trainer(loss_fn, params, batch, hp, logger=None, mesh=m)
+
+    p_single = build(None).fit()
+    p_shard = build(mesh).fit()
+    for (w1, _), (w2, _) in zip(p_single, p_shard):
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                                   rtol=5e-5, atol=1e-7)
