@@ -225,3 +225,103 @@ def burgers_residual(params, X_f, lb, ub, nu: float,
         interpret=interpret,
     )(Xp, scale, lbub, *weight_args)
     return out[:n]
+
+
+def _schrodinger_kernel_fmajor(n_hidden: int, x_ref, *refs):
+    """Fused NLS residual, features-major: out rows = (f_u, f_v).
+
+    f_u = u_t + 0.5 v_xx + (u²+v²) v ;  f_v = v_t - 0.5 u_xx - (u²+v²) u
+    (reference 1dcomplex-schrodinger/inf_cont_schrodinger.py:101-104).
+    """
+    scale_ref = refs[0]
+    lbub_ref = refs[1]
+    wref = refs[2:-1]
+    out_ref = refs[-1]
+
+    lb = lbub_ref[:, 0:1]
+    ub = lbub_ref[:, 1:2]
+    x = x_ref[:]
+    a = 2.0 * (x - lb) / (ub - lb) - 1.0
+
+    scale = scale_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, scale.shape, 0)
+    vx = jnp.where(row == 0, scale, 0.0)
+    vt = jnp.where(row == 1, scale, 0.0)
+
+    wt, b = wref[0][:], wref[1][:]
+    z = jnp.dot(wt, a, preferred_element_type=jnp.float32) + b
+    z1 = jnp.broadcast_to(
+        jnp.dot(wt, vx, preferred_element_type=jnp.float32), z.shape)
+    z2 = jnp.broadcast_to(
+        jnp.dot(wt, vt, preferred_element_type=jnp.float32), z.shape)
+
+    a = jnp.tanh(z)
+    sp = 1.0 - a * a
+    a1 = sp * z1
+    a11 = (-2.0 * a * sp) * z1 * z1
+    a2 = sp * z2
+
+    for i in range(1, n_hidden):
+        wt, b = wref[2 * i][:], wref[2 * i + 1][:]
+        z = jnp.dot(wt, a, preferred_element_type=jnp.float32) + b
+        z1 = jnp.dot(wt, a1, preferred_element_type=jnp.float32)
+        z11 = jnp.dot(wt, a11, preferred_element_type=jnp.float32)
+        z2 = jnp.dot(wt, a2, preferred_element_type=jnp.float32)
+        a = jnp.tanh(z)
+        sp = 1.0 - a * a
+        spp = -2.0 * a * sp
+        a1 = sp * z1
+        a11 = spp * z1 * z1 + sp * z11
+        a2 = sp * z2
+
+    wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+    H = jnp.dot(wt, a, preferred_element_type=jnp.float32) + b      # (2, T)
+    H_xx = jnp.dot(wt, a11, preferred_element_type=jnp.float32)
+    H_t = jnp.dot(wt, a2, preferred_element_type=jnp.float32)
+
+    u, v = H[0:1, :], H[1:2, :]
+    u_xx, v_xx = H_xx[0:1, :], H_xx[1:2, :]
+    u_t, v_t = H_t[0:1, :], H_t[1:2, :]
+    h2 = u * u + v * v
+    f_u = u_t + 0.5 * v_xx + h2 * v
+    f_v = v_t - 0.5 * u_xx - h2 * u
+    out_ref[:] = jnp.concatenate([f_u, f_v], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def schrodinger_residual(params, X_f, lb, ub,
+                         interpret: bool = False):
+    """Fused NLS residual at collocation points -> (f_u, f_v), each (N, 1)."""
+    n = X_f.shape[0]
+    n_pad = (-n) % TILE
+    Xp = jnp.pad(X_f, ((0, n_pad), (0, 0))).T
+    n_total = n + n_pad
+    n_hidden = len(params) - 1
+
+    lbub = jnp.stack([jnp.asarray(lb, X_f.dtype),
+                      jnp.asarray(ub, X_f.dtype)], axis=1)
+    scale = (2.0 / (lbub[:, 1] - lbub[:, 0]))[:, None]
+
+    weight_args = []
+    weight_specs = []
+    for w, b in params:
+        weight_args += [w.T, b.reshape(-1, 1)]
+        weight_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                         pl.BlockSpec(memory_space=pltpu.VMEM)]
+
+    kernel = functools.partial(_schrodinger_kernel_fmajor, n_hidden)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((2, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + weight_specs,
+        out_specs=pl.BlockSpec((2, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, n_total), X_f.dtype),
+        interpret=interpret,
+    )(Xp, scale, lbub, *weight_args)
+    return out[0, :n, None], out[1, :n, None]

@@ -18,6 +18,7 @@ import json
 from typing import Any, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pinn import params as pcodec
@@ -42,7 +43,12 @@ def load_npz(path: str, like: Any = None) -> Tuple[Any, dict]:
     meta = json.loads(str(d["meta"]))
     if like is not None:
         unravel = pcodec.make_unravel(like)
-        return unravel(flat), meta
+        params = unravel(flat)
+        # Cast to the template's leaf dtypes (e.g. loading an f32
+        # checkpoint to warm-start an f64 refinement run).
+        params = jax.tree_util.tree_map(
+            lambda leaf, tmpl: jnp.asarray(leaf, tmpl.dtype), params, like)
+        return params, meta
     out, off = [], 0
     for shape in meta["shapes"]:
         size = int(np.prod(shape)) if shape else 1

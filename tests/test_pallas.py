@@ -51,3 +51,21 @@ def test_fused_residual_fmajor_matches(rng):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_fused_schrodinger_residual_matches(rng):
+    import numpy as np
+    from pinn.problems import schrodinger
+    dtype = jnp.float32
+    params = mlp.init_mlp(rng, [2, 32, 32, 2], dtype)
+    lb = jnp.array([-5.0, 0.0], dtype)
+    ub = jnp.array([5.0, np.pi / 2], dtype)
+    X = jax.random.uniform(jax.random.PRNGKey(4), (600, 2), dtype,
+                           minval=-1.0, maxval=1.0)
+    fu_ref, fv_ref = schrodinger.residual(params, X, lb, ub)
+    fu, fv = pallas_residual.schrodinger_residual(params, X, lb, ub,
+                                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(fv_ref),
+                               rtol=2e-4, atol=2e-6)
