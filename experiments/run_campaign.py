@@ -24,42 +24,66 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Convergence-grade configs (the reference defaults stop far short of
 # the paper's accuracy; these run the same problems to convergence).
+# Recipe per RESULTS.md: mixed precision (f32 net + f64 L-BFGS vectors)
+# is the fast path; a float64 warm-start refinement stage squeezes the
+# last 2x of error where it matters (lists = stages chained through a
+# checkpoint).
+MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000}
 CAMPAIGN = {
-    "inf_cont_burgers": {
-        "dtype": "float64", "tf_epochs": 1000, "nt_epochs": 20000,
-        "log_frequency": 2000},
-    "inf_cont_schrodinger": {
-        "dtype": "float64", "tf_epochs": 1000, "tf_lr": 1e-3, "tf_b1": 0.9,
-        "tf_eps": None, "nt_epochs": 10000, "log_frequency": 1000},
-    "inf_disc_burgers": {
-        "dtype": "float64", "tf_epochs": 1000, "nt_epochs": 5000,
-        "log_frequency": 1000},
-    "ide_cont_burgers": {
-        "dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
-        "log_frequency": 1000},
-    "ide_disc_burgers": {
-        "dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
-        "log_frequency": 1000},
+    "inf_cont_burgers": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+         "log_frequency": 1000},
+    ],
+    "inf_cont_schrodinger": [
+        {**MIXED, "tf_epochs": 2000, "tf_lr": 1e-3, "tf_b1": 0.9,
+         "tf_eps": None, "nt_epochs": 15000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 6000,
+         "log_frequency": 1000},
+    ],
+    "inf_disc_burgers": [
+        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 5000,
+         "log_frequency": 1000}],
+    "ide_cont_burgers": [
+        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
+         "log_frequency": 1000}],
+    "ide_disc_burgers": [
+        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
+         "log_frequency": 1000}],
 }
 
 QUICK_OVERRIDES = {"tf_epochs": 50, "nt_epochs": 200, "log_frequency": 50}
 
 
 def run_one(name: str, quick: bool, f32: bool) -> dict:
+    import tempfile
     mod = __import__(name)
-    hp = dict(CAMPAIGN[name])
-    if quick:
-        hp.update(QUICK_OVERRIDES)
-    if f32:
-        hp["dtype"] = "float32"
+    stages = CAMPAIGN[name]
     t0 = time.time()
-    result = mod.run(hp, plot=False)
+    ckpt = None
+    for i, stage in enumerate(stages):
+        hp = dict(stage)
+        if quick:
+            hp.update(QUICK_OVERRIDES)
+        if f32:
+            hp["dtype"] = "float32"
+            hp.pop("nt_vector_dtype", None)
+        if ckpt:
+            hp["init_checkpoint"] = ckpt
+        if i + 1 < len(stages):
+            ckpt = tempfile.mktemp(suffix=".npz")
+            hp["save_checkpoint"] = ckpt
+        result = mod.run(hp, plot=False)
     dur = time.time() - t0
+    dtype_desc = "+".join(
+        s.get("dtype", "f32" + ("/f64vec" if s.get("nt_vector_dtype")
+                                else "")) for s in stages)
     return {"experiment": name, "error": result["error"],
             "duration_s": round(dur, 1),
             "backend": jax.default_backend(),
-            "dtype": hp.get("dtype", "float32"),
-            "tf_epochs": hp["tf_epochs"], "nt_epochs": hp["nt_epochs"],
+            "dtype": dtype_desc,
+            "tf_epochs": "+".join(str(s["tf_epochs"]) for s in stages),
+            "nt_epochs": "+".join(str(s["nt_epochs"]) for s in stages),
             "lambdas": result.get("lambdas"),
             "lambdas_noisy": result.get("lambdas_noisy")}
 
