@@ -13,6 +13,15 @@ Taylor engine; this kernel serves the residual-throughput eval path
 (the BASELINE.md "residual evals/sec/chip" metric) and is
 correctness-tested against the JAX engine (tests/test_pallas.py).
 
+Measured on one TPU v5e chip (10,240 points, 8x20 net, f32): XLA's
+fused Taylor engine evaluates in ~229 us, the features-major kernel in
+~378 us, the points-major one in ~843 us — the workload is
+launch/VPU-overhead-bound (0.26 GFLOP/eval), so XLA's automatic fusion
+is already at the overhead floor and remains the production path; the
+kernels are kept as verified references for future fusion work (e.g.
+folding the loss reduction or the backward pass into the same VMEM
+pass, where XLA *does* break fusion).
+
 Kernel checklist per the Pallas TPU guide: tiles of 512 points on the
 second-to-last dim, full weights in VMEM (KB-scale), grid over point
 tiles, biases/direction rows kept 2-D, ``preferred_element_type`` on
@@ -31,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512
+TILE = 2048
 
 
 def _residual_kernel(n_hidden: int, nu: float, x_ref, *refs):
