@@ -1,0 +1,68 @@
+"""End-to-end experiment regressions (SURVEY.md §4(d)): each experiment
+trains briefly on CPU and must hit a loose accuracy/descent budget.
+Budgets are ~2x worse than observed values so they catch real breakage
+without being flaky."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "experiments"))
+
+
+def test_inf_cont_burgers_e2e():
+    import inf_cont_burgers
+    r = inf_cont_burgers.run(
+        {"N_u": 80, "N_f": 2000, "layers": [2, 20, 20, 20, 1],
+         "tf_epochs": 200, "nt_epochs": 300, "log_frequency": 1000},
+        plot=False)
+    assert r["error"] < 0.5, r["error"]
+    assert np.isfinite(r["f_pred"]).all()
+
+
+def test_inf_disc_burgers_e2e():
+    import inf_disc_burgers
+    r = inf_disc_burgers.run(
+        {"q": 50, "layers": [1, 50, 50, 50, 51], "tf_epochs": 200,
+         "nt_epochs": 150, "log_frequency": 1000}, plot=False)
+    assert r["error"] < 0.25, r["error"]
+
+
+def test_ide_cont_burgers_e2e():
+    import ide_cont_burgers
+    from pinn.utils import Logger
+    hp = {**ide_cont_burgers.DEFAULT_HP, "N_u": 1000,
+          "tf_epochs": 100, "nt_epochs": 400, "log_frequency": 10 ** 6}
+    logger = Logger(hp, print_fn=lambda s: None)
+    params, *_ = ide_cont_burgers.train_once(
+        hp, np.float32, noise=0.0, logger=logger)
+    l1, l2 = ide_cont_burgers.get_lambdas(params)
+    # After a short run lambda1 must be moving decisively toward 1.
+    assert 0.5 < l1 < 1.5, l1
+    assert 1e-4 < l2 < 3e-2, l2
+
+
+def test_inf_cont_schrodinger_e2e():
+    import inf_cont_schrodinger
+    r = inf_cont_schrodinger.run(
+        {"N_0": 40, "N_b": 40, "N_f": 2000, "layers": [2, 40, 40, 2],
+         "tf_epochs": 150, "tf_lr": 0.01, "tf_b1": 0.9, "tf_eps": None,
+         "nt_epochs": 150, "log_frequency": 10 ** 6}, plot=False)
+    assert r["error"] < 0.6, r["error"]
+
+
+def test_ide_disc_burgers_e2e():
+    import ide_disc_burgers
+    from pinn.utils import Logger
+    hp = {**ide_disc_burgers.DEFAULT_HP,
+          "tf_epochs": 100, "nt_epochs": 400, "log_frequency": 10 ** 6}
+    logger = Logger(hp, print_fn=lambda s: None)
+    params, *_ = ide_disc_burgers.train_once(
+        hp, np.float64, noise=0.0, logger=logger)
+    err = ide_disc_burgers.lambda_error(params)
+    # initial lambdas give error ~0.61 (l1=0); must have
+    # improved markedly
+    assert err < 0.5, err
