@@ -19,7 +19,7 @@ train).  Everything else matches the reference call-for-call.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
