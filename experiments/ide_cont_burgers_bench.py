@@ -72,6 +72,10 @@ def main():
     hp = dict(ide_cont_burgers.DEFAULT_HP)
     if QUICK:
         hp.update(tf_epochs=50, nt_epochs=100, N_u=500)
+    else:
+        # Convergence-grade schedule (see RESULTS.md).
+        hp.update(tf_epochs=1000, nt_epochs=5000,
+                  nt_vector_dtype="float64", log_frequency=10**6)
     dtype = resolve_dtype(hp)
 
     t0 = time.time()
