@@ -34,6 +34,11 @@ def setup(seed: int = 1234):
     return jax.random.PRNGKey(seed)
 
 
+def validate(hp):
+    from pinn.utils.config import validate_hp
+    return validate_hp(hp)
+
+
 def resolve_dtype(hp):
     """hp['dtype'] in {'float32','float64','bfloat16'}; default f32
     (TPU-native), f64 enables x64 for reference-parity runs.

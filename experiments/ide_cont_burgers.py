@@ -16,7 +16,7 @@ from __future__ import annotations
 import sys
 
 from _common import (setup, resolve_dtype, maybe_load_params,  # noqa: F401
-                     maybe_save_params)
+                     maybe_save_params, validate)
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +87,7 @@ def train_once(hp, dtype, noise: float, logger):
 def run(hp=None, plot=False, save_path=None):
     setup(1234)
     hp = {**DEFAULT_HP, **(hp or {})}
+    validate(hp)
     dtype = resolve_dtype(hp)
     logger = Logger(hp)
 

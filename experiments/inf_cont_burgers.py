@@ -14,7 +14,7 @@ from __future__ import annotations
 import sys
 
 from _common import (setup, resolve_dtype, maybe_load_params,  # noqa: F401
-                     maybe_save_params)
+                     maybe_save_params, validate)
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,7 @@ DEFAULT_HP = {
 def run(hp=None, plot=False, save_path=None):
     key = setup(1234)
     hp = {**DEFAULT_HP, **(hp or {})}
+    validate(hp)
     dtype = resolve_dtype(hp)
 
     data = burgers_cont_inference(hp["N_u"], hp["N_f"])

@@ -15,7 +15,7 @@ from __future__ import annotations
 import sys
 
 from _common import (setup, resolve_dtype, maybe_load_params,  # noqa: F401
-                     maybe_save_params)
+                     maybe_save_params, validate)
 
 import jax
 import jax.numpy as jnp

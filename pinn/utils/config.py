@@ -37,3 +37,35 @@ def load_hp(argv: Optional[List[str]] = None, defaults: Optional[HP] = None) -> 
 def save_hp(hp: HP, path: str) -> None:
     with open(path, "w") as fh:
         json.dump(hp, fh)
+
+
+# Keys every training run needs (reference hp contract) and the extras
+# this framework adds.  Used for friendly validation errors.
+REQUIRED_KEYS = ("layers",)
+KNOWN_KEYS = {
+    "N_u", "N_f", "N_0", "N_1", "N_n", "N_b", "q", "layers",
+    "tf_epochs", "tf_lr", "tf_b1", "tf_eps",
+    "nt_epochs", "nt_lr", "nt_ncorr", "log_frequency",
+    # framework extras
+    "dtype", "nt_line_search", "nt_restart", "nt_vector_dtype",
+    "trace_dir", "init_checkpoint", "save_checkpoint",
+}
+
+
+def validate_hp(hp: HP, required=REQUIRED_KEYS) -> HP:
+    """Check required keys and warn on unknown ones (typo guard).
+
+    Returns hp unchanged so it can be used inline.
+    """
+    missing = [k for k in required if k not in hp]
+    if missing:
+        raise KeyError(
+            f"hp is missing required key(s) {missing}; the reference key "
+            f"names are used here (see pinn/utils/config.py KNOWN_KEYS)")
+    unknown = sorted(set(hp) - KNOWN_KEYS)
+    if unknown:
+        import warnings
+        warnings.warn(f"unknown hp key(s) {unknown} — typo? "
+                      f"(known: sorted KNOWN_KEYS in pinn/utils/config.py)",
+                      stacklevel=2)
+    return hp

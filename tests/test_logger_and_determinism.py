@@ -88,3 +88,17 @@ def test_mixed_precision_lbfgs_runs_and_descends():
     # Network params stay f32; optimizer state was f64.
     assert p[0][0].dtype == jnp.float32
     assert t.last_lbfgs_state.x.dtype == jnp.float64
+
+
+def test_hp_validation():
+    import pytest
+    import warnings
+    from pinn.utils.config import validate_hp
+
+    with pytest.raises(KeyError):
+        validate_hp({"tf_epochs": 10})
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        validate_hp({"layers": [2, 1], "nt_epochz": 5})
+    assert any("nt_epochz" in str(w.message) for w in rec)
+    validate_hp({"layers": [2, 1], "tf_epochs": 3})  # clean
