@@ -94,7 +94,12 @@ def train_once(hp, dtype, noise: float, logger):
     logger.set_error_fn(lambda: lambda_error(trainer.params))
     params = trainer.fit()
     maybe_save_params(hp, params)
-    return params, data, lbj, ubj
+
+    # Stage-map predictions at arbitrary x (reference
+    # ide_disc_burgers.py predict: U_0_model/U_1_model on x_star).
+    predict_stages = jax.jit(lambda p, x: burgers.disc_ide_stage_maps(
+        p, x, lbj, ubj, data.dt, alpha, beta))
+    return params, data, lbj, ubj, predict_stages
 
 
 def run(hp=None, plot=False, save_path=None):
@@ -104,10 +109,13 @@ def run(hp=None, plot=False, save_path=None):
     dtype = resolve_dtype(hp)
     logger = Logger(hp)
 
-    params, data, lbj, ubj = train_once(hp, dtype, noise=0.0, logger=logger)
+    params, data, lbj, ubj, predict_stages = train_once(
+        hp, dtype, noise=0.0, logger=logger)
     l1, l2 = get_lambdas(params)
+    U_0_pred, U_1_pred = (np.asarray(a) for a in predict_stages(
+        params, jnp.asarray(data.x, dtype)))
 
-    params_n, _, _, _ = train_once(hp, dtype, noise=0.01, logger=logger)
+    params_n, _, _, _, _ = train_once(hp, dtype, noise=0.01, logger=logger)
     l1_noisy, l2_noisy = get_lambdas(params_n)
 
     print("l1: ", l1)
@@ -125,6 +133,7 @@ def run(hp=None, plot=False, save_path=None):
                               save_hp=hp)
     return {"params": params, "lambdas": (l1, l2),
             "lambdas_noisy": (l1_noisy, l2_noisy),
+            "U_0_pred": U_0_pred, "U_1_pred": U_1_pred,
             "error": lambda_error(params), "data": data, "hp": hp}
 
 
