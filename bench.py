@@ -47,11 +47,12 @@ def measure_ours(smoke: bool = False):
     import numpy as np
 
     try:
-        # Per-backend cache dir (see experiments/_common.py note).
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser(
-                              f"~/.cache/jax_comp_{jax.default_backend()}"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # TPU-only cache (see experiments/_common.py note).
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/jax_comp_tpu"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
     # Match the training configuration: full-f32 matmuls (see

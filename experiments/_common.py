@@ -16,12 +16,12 @@ import numpy as np  # noqa: E402
 # Persistent compilation cache: compiles through the remote TPU tunnel
 # take minutes; cache them across processes.
 try:
-    # Per-backend cache dir: artifacts compiled on the remote TPU
-    # terminal's CPU are not safe to execute on this host's CPU
-    # (mismatched machine features -> SIGILL on load).
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser(
-                          f"~/.cache/jax_comp_{jax.default_backend()}"))
+    # TPU-only: remote compiles take minutes and are worth caching.
+    # CPU compiles are fast AND the cache can hold artifacts built with
+    # mismatched machine-feature sets (SIGILL risk on load) — skip it.
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp_tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
