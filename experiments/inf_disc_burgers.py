@@ -51,6 +51,7 @@ IDX_T_1 = 90
 def run(hp=None, plot=False, save_path=None):
     key = setup(1234)
     hp = {**DEFAULT_HP, **(hp or {})}
+    validate(hp)
     hp["layers"] = list(hp["layers"])
     hp["layers"][-1] = hp["q"] + 1
     dtype = resolve_dtype(hp)

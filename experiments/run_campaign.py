@@ -61,6 +61,7 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
     stages = CAMPAIGN[name]
     t0 = time.time()
     ckpt = None
+    executed = []
     for i, stage in enumerate(stages):
         hp = dict(stage)
         if quick:
@@ -73,11 +74,12 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
         if i + 1 < len(stages):
             ckpt = tempfile.mktemp(suffix=".npz")
             hp["save_checkpoint"] = ckpt
+        executed.append(hp)
         result = mod.run(hp, plot=False)
     dur = time.time() - t0
     dtype_desc = "+".join(
-        s.get("dtype", "f32" + ("/f64vec" if s.get("nt_vector_dtype")
-                                else "")) for s in stages)
+        h.get("dtype", "f32" + ("/f64vec" if h.get("nt_vector_dtype")
+                                else "")) for h in executed)
     return {"experiment": name, "error": result["error"],
             "duration_s": round(dur, 1),
             "backend": jax.default_backend(),

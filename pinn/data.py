@@ -215,6 +215,10 @@ def burgers_disc_identification(N_0: int, N_1: int, idx_t_0: int, idx_t_1: int,
     from dt (reference burgersutil.py:77-97)."""
     x, t, usol = load_burgers(path)
     Exact_u = usol                                # space-major (Nx, Nt)
+    # RNG-stream parity: the reference's prep_data executes a grid-wide
+    # choice (with N_u=None) before reaching the N_0/N_1 branch
+    # (burgersutil.py:72-75) — consume the identical draw.
+    _ = np.random.choice(x.shape[0] * t.shape[0], None, replace=False)
     idx_x = np.random.choice(Exact_u.shape[0], N_0, replace=False)
     x_0 = x[idx_x, :]
     u_0 = Exact_u[idx_x, idx_t_0][:, None]

@@ -176,7 +176,10 @@ def _two_loop(g, S, Y, k, head, hdiag, m):
 
 
 def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
-          batch: Any) -> LbfgsState:
+          batch: Any, lossfunc=None) -> LbfgsState:
+    if lossfunc is None:
+        def lossfunc(w, b):
+            return opfunc(w, b)[0]
     m = config.n_correction
     dt = state.x.dtype
     first = state.n_iter == 0
@@ -215,28 +218,38 @@ def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
     elif config.line_search == "armijo":
         # Backtracking from the natural quasi-Newton step t=1 until the
         # sufficient-decrease condition f(x+td) <= f + c1 t g·d holds.
+        # The common case (t0 accepted) costs one value-and-grad eval;
+        # rejected trials use loss-only evaluations (no wasted backward
+        # passes) with a single grad eval at the accepted step.
         t0 = jnp.where(first,
                        jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
                        jnp.asarray(1.0, dt))
         c1 = jnp.asarray(config.ls_c1, dt)
-
-        def ls_cond(carry):
-            t, f_t, g_t, it = carry
-            armijo_ok = f_t <= state.f + c1 * t * gtd
-            return jnp.logical_and(jnp.logical_not(armijo_ok),
-                                   it < config.ls_backtracks)
-
-        def ls_body(carry):
-            t, _, _, it = carry
-            t = t * 0.5
-            f_t, g_t = opfunc(state.x + t * d, batch)
-            return t, f_t, g_t, it + 1
-
         f_t0, g_t0 = opfunc(state.x + t0 * d, batch)
-        t, f_new, g_new, n_ls = jax.lax.while_loop(
-            ls_cond, ls_body, (t0, f_t0, g_t0, jnp.int32(0)))
+
+        def accept_t0(_):
+            return t0, f_t0, g_t0, jnp.int32(1)
+
+        def backtrack(_):
+            def ls_cond(carry):
+                t, f_t, it = carry
+                armijo_ok = f_t <= state.f + c1 * t * gtd
+                return jnp.logical_and(jnp.logical_not(armijo_ok),
+                                       it < config.ls_backtracks)
+
+            def ls_body(carry):
+                t, _, it = carry
+                t = t * 0.5
+                return t, lossfunc(state.x + t * d, batch), it + 1
+
+            t, _, n_ls = jax.lax.while_loop(
+                ls_cond, ls_body, (t0, f_t0, jnp.int32(0)))
+            f_acc, g_acc = opfunc(state.x + t * d, batch)
+            return t, f_acc, g_acc, n_ls + 2
+
+        t, f_new, g_new, ls_evals = jax.lax.cond(
+            f_t0 <= state.f + c1 * t0 * gtd, accept_t0, backtrack, None)
         x_new = state.x + t * d
-        ls_evals = n_ls + 1
         # Backtracking exhausted without sufficient decrease: treat as
         # no-progress (keep the old iterate and stop).
         no_progress = jnp.logical_or(
@@ -275,16 +288,22 @@ def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
 
     # On no-progress the reference breaks BEFORE stepping; keep the old
     # iterate in that case.  Same treatment on divergence to NaN/inf
-    # (guard added on top of the reference semantics).
+    # (guard added on top of the reference semantics).  The rejected
+    # direction/step are zeroed so the NEXT iteration cannot pair
+    # y = g - g_old (from the last real step) with s = t*d of a step
+    # never taken — s = 0 makes ys = 0, which the curvature guard
+    # rejects.
     def keep_old(ns: LbfgsState) -> LbfgsState:
         return ns._replace(x=state.x, f=state.f, g=state.g,
-                           f_old=state.f_old, g_old=state.g_old)
+                           f_old=state.f_old, g_old=state.g_old,
+                           d=jnp.zeros_like(ns.d), t=jnp.zeros_like(ns.t))
 
     return jax.lax.cond(jnp.logical_or(no_progress, non_finite),
                         keep_old, lambda ns: ns, new_state)
 
 
-def make_lbfgs_run(opfunc: OpFunc, config: LbfgsConfig):
+def make_lbfgs_run(opfunc: OpFunc, config: LbfgsConfig,
+                   lossfunc: Callable[[jnp.ndarray, Any], jnp.ndarray] = None):
     """Build ``run(state, batch, n_steps) -> (state, f_hist)``, jitted.
 
     Advances up to ``n_steps`` iterations (stopping early if converged —
@@ -292,6 +311,10 @@ def make_lbfgs_run(opfunc: OpFunc, config: LbfgsConfig):
     ``n_steps`` is static; the trainer calls this in logger-frequency
     chunks.
     """
+
+    if lossfunc is None:
+        def lossfunc(w, batch):
+            return opfunc(w, batch)[0]
 
     @partial(jax.jit, static_argnums=2)
     def run(state: LbfgsState, batch: Any, n_steps: int):
@@ -303,7 +326,7 @@ def make_lbfgs_run(opfunc: OpFunc, config: LbfgsConfig):
 
         def body(carry):
             i, st, hist = carry
-            st = _step(opfunc, config, st, batch)
+            st = _step(opfunc, config, st, batch, lossfunc)
             hist = jax.lax.dynamic_update_index_in_dim(hist, st.f, i, 0)
             return i + 1, st, hist
 

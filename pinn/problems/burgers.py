@@ -27,9 +27,6 @@ import jax.numpy as jnp
 
 from pinn.models import mlp
 
-VX = None  # direction constants built per-dtype below
-
-
 def _vx(dtype):
     return jnp.array([1.0, 0.0], dtype=dtype)
 

@@ -69,17 +69,15 @@ def loss_terms(net_params, X0, H0, X_lb, X_ub, X_f, lb, ub,
     X_lb/X_ub: (N_b, 2) boundary points at x=lb/x=ub, shared times.
     """
     dt_ = X_f.dtype
-    # Initial condition.
+    # Initial condition: per-column means, as the reference sums
+    # mean(u err) + mean(v err) (inf_cont_schrodinger.py:117-118) — a
+    # block mean over (N, 2) would halve the term's weight.
     H0_pred = mlp.apply(net_params, X0, lb, ub)
-    mse_0 = mse(H0 - H0_pred)
+    mse_0 = mse(H0[:, 0] - H0_pred[:, 0]) + mse(H0[:, 1] - H0_pred[:, 1])
 
     # Periodic BCs: match value and x-derivative across the boundary.
     out_lo = mlp.taylor_apply(net_params, X_lb, lb, ub, _vx(dt_), order=1)
     out_hi = mlp.taylor_apply(net_params, X_ub, lb, ub, _vx(dt_), order=1)
-    mse_b = mse(out_lo.value - out_hi.value) + mse(out_lo.d1 - out_hi.d1)
-    # The reference accumulates u and v terms separately with
-    # reduce_mean each; mean over the (N_b, 2) block is identical up to
-    # a factor recovered by summing the two column means — match it:
     mse_b = (mse(out_lo.value[:, 0] - out_hi.value[:, 0])
              + mse(out_lo.value[:, 1] - out_hi.value[:, 1])
              + mse(out_lo.d1[:, 0] - out_hi.d1[:, 0])

@@ -99,8 +99,10 @@ class Trainer:
         opt_state = self.adam.init(self.params)
         done = 0
         while done < self.tf_epochs:
-            chunk = min(self.frequency, self.tf_epochs - done,
-                        self.CHUNK_CAP)
+            # Land exactly on log boundaries even when log_frequency
+            # is not a multiple of CHUNK_CAP.
+            chunk = min(self.CHUNK_CAP, self.tf_epochs - done,
+                        self.frequency - (done % self.frequency))
             self.params, opt_state, losses = self.adam.run(
                 self.params, opt_state, self.batch, chunk)
             # losses[0] is the loss at epoch `done` (pre-update), i.e.
@@ -133,6 +135,10 @@ class Trainer:
                     return self.loss_fn(p, batch).astype(vec_dtype)
                 return jax.value_and_grad(cast_loss)(w)
 
+            def lossfunc(w, batch):
+                p = unravel(w.astype(net_dtype))
+                return self.loss_fn(p, batch).astype(vec_dtype)
+
             def to_params(x):
                 return unravel(x.astype(net_dtype))
         else:
@@ -140,14 +146,17 @@ class Trainer:
                 return jax.value_and_grad(
                     lambda w_: self.loss_fn(unravel(w_), batch))(w)
 
+            def lossfunc(w, batch):
+                return self.loss_fn(unravel(w), batch)
+
             to_params = unravel
 
         state = lb.lbfgs_init(opfunc, flat, self.nt_config, self.batch)
-        run = lb.make_lbfgs_run(opfunc, self.nt_config)
+        run = lb.make_lbfgs_run(opfunc, self.nt_config, lossfunc)
         done = 0
         while done < self.nt_config.max_iter and int(state.reason) == lb.RUNNING:
-            chunk = min(self.frequency, self.nt_config.max_iter - done,
-                        self.CHUNK_CAP)
+            chunk = min(self.CHUNK_CAP, self.nt_config.max_iter - done,
+                        self.frequency - (done % self.frequency))
             state, f_hist = run(state, self.batch, chunk)
             done += chunk
             self.params = to_params(state.x)

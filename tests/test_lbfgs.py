@@ -154,3 +154,51 @@ def test_soft_restart_continues_after_bad_direction():
     assert float(recovered.f) < float(stopped.f)
     np.testing.assert_allclose(np.asarray(recovered.x), np.asarray(x_star),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_soft_restart_discards_rejected_direction_pair():
+    """After a soft restart the next memory update must NOT pair the
+    real gradient change with the rejected direction: s is zeroed, so
+    the curvature guard rejects the insert and history stays empty
+    until a genuine step is taken."""
+    opfunc, _ = quad_opfunc(dim=6, seed=11)
+    config = lb.LbfgsConfig(max_iter=3, n_correction=4,
+                            line_search="armijo", restart=True)
+    x0 = jnp.ones(6, dtype=jnp.float64)
+    state = lb.lbfgs_init(opfunc, x0, config)
+    # Manufacture: one real step happened (g != g_old), then a poisoned
+    # history produced an ascent direction.
+    f1, g1 = opfunc(x0 * 0.9)
+    state = state._replace(
+        x=x0 * 0.9, f=f1, g=g1,           # current point after a real step
+        g_old=state.g, f_old=state.f,     # previous gradient differs
+        S=state.S.at[0].set(jnp.ones(6)),
+        Y=state.Y.at[0].set(-jnp.ones(6)),
+        k=jnp.int32(1), head=jnp.int32(1), n_iter=jnp.int32(1))
+    run = lb.make_lbfgs_run(opfunc, config)
+    state, _ = run(state, None, 1)   # restart fires, d/t zeroed
+    assert int(state.k) == 0
+    np.testing.assert_array_equal(np.asarray(state.d), 0.0)
+    state, _ = run(state, None, 1)   # next step: steepest descent
+    # No bogus pair inserted from the zeroed step: history only grows
+    # from genuine steps, and the run proceeds (still RUNNING or a real
+    # termination, never stuck with poisoned curvature).
+    assert np.isfinite(float(state.f))
+
+
+def test_armijo_lossonly_backtracking_matches():
+    """Loss-only backtracking must produce the same iterates as the
+    all-gradient variant (fallback path when lossfunc is None)."""
+    opfunc, x_star = quad_opfunc(dim=8, seed=12)
+    config = lb.LbfgsConfig(max_iter=25, n_correction=8,
+                            line_search="armijo")
+    x0 = jnp.ones(8, dtype=jnp.float64) * 3.0
+
+    s1 = lb.minimize(opfunc, x0, config)
+    # Explicit lossfunc path.
+    state = lb.lbfgs_init(opfunc, x0, config)
+    run = lb.make_lbfgs_run(opfunc, config,
+                            lossfunc=lambda w, b: opfunc(w, b)[0])
+    state, _ = run(state, None, 25)
+    np.testing.assert_allclose(np.asarray(s1.x), np.asarray(state.x),
+                               rtol=1e-12)

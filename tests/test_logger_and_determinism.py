@@ -102,3 +102,28 @@ def test_hp_validation():
         validate_hp({"layers": [2, 1], "nt_epochz": 5})
     assert any("nt_epochz" in str(w.message) for w in rec)
     validate_hp({"layers": [2, 1], "tf_epochs": 3})  # clean
+
+
+def test_log_frequency_not_multiple_of_chunk_cap():
+    """log_frequency=25 with CHUNK_CAP=10 must still log epochs 0, 25,
+    50, 75 (chunks land exactly on log boundaries)."""
+    from pinn.train import Trainer
+    from pinn.utils import Logger
+
+    params = mlp.init_mlp(jax.random.PRNGKey(4), [2, 4, 1], jnp.float32)
+    rng = np.random.RandomState(4)
+    batch = {"X_u": jnp.asarray(rng.rand(8, 2), jnp.float32),
+             "u": jnp.asarray(rng.rand(8, 1), jnp.float32)}
+    lb_, ub_ = jnp.zeros(2, jnp.float32), jnp.ones(2, jnp.float32)
+
+    def loss_fn(p, b):
+        return jnp.mean((mlp.apply(p, b["X_u"], lb_, ub_) - b["u"]) ** 2)
+
+    lines = []
+    logger = Logger({"log_frequency": 25}, print_fn=lines.append)
+    hp = {"tf_epochs": 100, "tf_lr": 0.01, "tf_b1": 0.9, "tf_eps": None,
+          "nt_epochs": 0, "log_frequency": 25}
+    Trainer(loss_fn, params, batch, hp, logger).fit()
+    logged = [ln for ln in lines if ln.startswith("tf_epoch")]
+    epochs = [int(ln.split("=")[1].split()[0]) for ln in logged]
+    assert epochs == [0, 25, 50, 75], epochs
