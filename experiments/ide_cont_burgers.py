@@ -58,7 +58,7 @@ def lambda_error(params) -> float:
 
 
 def train_once(hp, dtype, noise: float, logger):
-    key = jax.random.PRNGKey(1234)
+    key = jax.random.PRNGKey(hp.get("seed", 1234))
     data = burgers_cont_identification(hp["N_u"], noise=noise)
     lb = jnp.asarray(data.lb, dtype)
     ub = jnp.asarray(data.ub, dtype)
@@ -85,8 +85,8 @@ def train_once(hp, dtype, noise: float, logger):
 
 
 def run(hp=None, plot=False, save_path=None):
-    setup(1234)
     hp = {**DEFAULT_HP, **(hp or {})}
+    setup(hp.get("seed", 1234))
     validate(hp)
     dtype = resolve_dtype(hp)
     logger = Logger(hp)

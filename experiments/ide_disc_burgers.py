@@ -61,7 +61,7 @@ def lambda_error(params) -> float:
 
 
 def train_once(hp, dtype, noise: float, logger):
-    key = jax.random.PRNGKey(1234)
+    key = jax.random.PRNGKey(hp.get("seed", 1234))
     data = burgers_disc_identification(hp["N_0"], hp["N_1"],
                                        IDX_T_0, IDX_T_0 + SKIP, noise=noise)
     hp["layers"] = list(hp["layers"])
@@ -103,8 +103,8 @@ def train_once(hp, dtype, noise: float, logger):
 
 
 def run(hp=None, plot=False, save_path=None):
-    setup(1234)
     hp = {**DEFAULT_HP, **(hp or {})}
+    setup(hp.get("seed", 1234))
     validate(hp)
     dtype = resolve_dtype(hp)
     logger = Logger(hp)

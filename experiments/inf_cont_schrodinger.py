@@ -46,8 +46,8 @@ DEFAULT_HP = {
 
 
 def run(hp=None, plot=False, save_path=None):
-    key = setup(1234)
     hp = {**DEFAULT_HP, **(hp or {})}
+    key = setup(hp.get("seed", 1234))
     validate(hp)
     dtype = resolve_dtype(hp)
 

@@ -49,8 +49,8 @@ IDX_T_1 = 90
 
 
 def run(hp=None, plot=False, save_path=None):
-    key = setup(1234)
     hp = {**DEFAULT_HP, **(hp or {})}
+    key = setup(hp.get("seed", 1234))
     validate(hp)
     hp["layers"] = list(hp["layers"])
     hp["layers"][-1] = hp["q"] + 1

@@ -48,7 +48,7 @@ KNOWN_KEYS = {
     "nt_epochs", "nt_lr", "nt_ncorr", "log_frequency",
     # framework extras
     "dtype", "nt_line_search", "nt_restart", "nt_vector_dtype",
-    "trace_dir", "init_checkpoint", "save_checkpoint",
+    "trace_dir", "init_checkpoint", "save_checkpoint", "seed",
 }
 
 
