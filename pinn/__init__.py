@@ -23,9 +23,11 @@ Design notes (vs. the TF2 reference):
   collectives; there is no hand-written communication layer.
 """
 
-from pinn import dtypes
+from pinn import data, dtypes, irk, optim, parallel, problems
+from pinn.api import PhysicsInformedNN
 from pinn.dtypes import default_dtype, set_default_dtype
 from pinn.models import mlp
+from pinn.train import Trainer
 from pinn.utils.config import HP, load_hp
 
 __version__ = "0.1.0"
