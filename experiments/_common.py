@@ -49,8 +49,11 @@ def resolve_dtype(hp):
     (tiny nets — the cost is negligible)."""
     import jax.numpy as jnp
     name = hp.get("dtype", "float32")
-    if name == "float64" or hp.get("nt_vector_dtype") == "float64":
-        jax.config.update("jax_enable_x64", True)
+    # Set x64 explicitly BOTH ways: multi-stage same-process runs
+    # (run_campaign) must not inherit x64 from a previous f64 stage.
+    want_x64 = (name == "float64"
+                or hp.get("nt_vector_dtype") == "float64")
+    jax.config.update("jax_enable_x64", want_x64)
     if name != "float64":
         jax.config.update("jax_default_matmul_precision", "highest")
     return jnp.dtype(name)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pinn.data import burgers_cont_inference
+from pinn.data import burgers_cont_inference, lhs
 from pinn.models import mlp
 from pinn.problems import burgers
 from pinn.train import Trainer
@@ -71,8 +71,15 @@ def run(hp=None, plot=False, save_path=None):
     predict_u = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
     residual_f = jax.jit(lambda p, X: burgers.residual_cont(p, X, lb, ub, nu=nu))
 
+    def resample_fn(i):
+        # Fresh LHS collocation draw (same sampler as prep, new stream);
+        # data points stay fixed.  Active via hp tf_resample/nt_resample.
+        rng = np.random.RandomState(hp.get("seed", 1234) + i)
+        X_f_new = data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng)
+        return {"X_u": X_u, "u": u, "X_f": jnp.asarray(X_f_new, dtype)}
+
     logger = Logger(hp)
-    trainer = Trainer(loss_fn, net, batch, hp, logger)
+    trainer = Trainer(loss_fn, net, batch, hp, logger, resample_fn=resample_fn)
 
     def error():
         u_pred = np.asarray(predict_u(trainer.params, X_star))

@@ -72,7 +72,8 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
         if ckpt:
             hp["init_checkpoint"] = ckpt
         if i + 1 < len(stages):
-            ckpt = tempfile.mktemp(suffix=".npz")
+            fd, ckpt = tempfile.mkstemp(suffix=".npz")
+            os.close(fd)
             hp["save_checkpoint"] = ckpt
         executed.append(hp)
         result = mod.run(hp, plot=False)

@@ -78,22 +78,16 @@ class PhysicsInformedNN:
     def fit(self, X_u, u):
         batch = {"X_u": self.tensor(X_u), "u": self.tensor(u),
                  **self.extra_batch()}
+        # params_callback keeps self.params live during training so
+        # error_fn closures (logger.set_error_fn) see the current
+        # iterate, as in the reference where the Keras model mutates
+        # in place.
         self.trainer = Trainer(
             lambda p, b: self.loss(p, b), self.params, batch, self.hp,
             self.logger,
-            epoch_extra=(lambda p: self.epoch_extra(p)))
-        # Keep self.params live during training so error_fn closures
-        # (logger.set_error_fn) see the current iterate, as in the
-        # reference where the Keras model mutates in place.
-        trainer = self.trainer
-        orig_log = trainer._log
-
-        def log_and_sync(method, *args, **kw):
-            self.params = trainer.params
-            orig_log(method, *args, **kw)
-
-        trainer._log = log_and_sync
-        self.params = trainer.fit()
+            epoch_extra=(lambda p: self.epoch_extra(p)),
+            params_callback=lambda p: setattr(self, "params", p))
+        self.params = self.trainer.fit()
         return self.params
 
     def predict(self, X_star) -> np.ndarray:

@@ -14,6 +14,15 @@ classic stratified Latin-hypercube scheme with pyDOE's call pattern
 with the same seed the sampled points match the reference run
 bit-for-bit.
 
+Noise caveat: on the inference paths (:func:`burgers_cont_inference`,
+:func:`schrodinger_inference`) the reference's ``noise`` kwarg is a
+no-op (never applied, burgersutil.py:124-131), while here ``noise > 0``
+actually perturbs the data with extra ``randn`` draws — so bit-for-bit
+RNG-stream parity on those two paths holds at ``noise=0`` (the only
+setting the reference experiments use).  The identification/discrete
+paths apply noise through the shared stream exactly as the reference
+does.
+
 Datasets are self-generated (``datagen/burgers_exact.py``,
 ``datagen/schrodinger_exact.py``) and stored as npz under ``data/``;
 ``.mat`` files (e.g. the originals from the Raissi repo) load
@@ -41,8 +50,20 @@ def _load_any(path: str) -> dict:
 
 
 def load_burgers(path: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> x (256,1), t (100,1), usol (256,100) float64."""
+    """-> x (256,1), t (100,1), usol (256,100) float64.
+
+    Accepts ``.npz``/``.mat`` grid files, or any member of the
+    reference's ``burgers_{x,t,u}.npy`` triple (the sibling files are
+    derived from the name; reference datagen/1d-burgers/datagen_old.py:7-16).
+    """
     path = path or os.path.join(_DATA_DIR, "burgers_shock.npz")
+    if path.endswith(".npy"):
+        import re
+        base = re.sub(r"_[xtu]\.npy$", "", path)
+        x = np.load(base + "_x.npy").reshape(-1, 1).astype(np.float64)
+        t = np.load(base + "_t.npy").reshape(-1, 1).astype(np.float64)
+        usol = np.real(np.load(base + "_u.npy")).astype(np.float64)
+        return x, t, usol
     d = _load_any(path)
     x = d["x"].reshape(-1, 1).astype(np.float64)
     t = d["t"].reshape(-1, 1).astype(np.float64)

@@ -62,10 +62,15 @@ class LbfgsConfig(NamedTuple):
     # line search).  "armijo": backtracking sufficient-decrease search —
     # the fixed step diverges beyond a few hundred iterations on PINN
     # losses, so the long-run configurations use this (the Raissi paper
-    # itself relied on a line-searched L-BFGS).
+    # itself relied on a line-searched L-BFGS).  "wolfe": weak-Wolfe
+    # bisection (Armijo + curvature g(t)·d ≥ c2·g·d) — guarantees
+    # y·s > 0 so every iteration yields a usable curvature pair; this is
+    # the closest match to the scipy L-BFGS-B the original Raissi code
+    # used, and the recommended setting for convergence-grade runs.
     line_search: str = "none"
     ls_c1: float = 1e-4          # Armijo sufficient-decrease constant
-    ls_backtracks: int = 25      # max step halvings per iteration
+    ls_c2: float = 0.9           # Wolfe curvature constant
+    ls_backtracks: int = 25      # max step trials per iteration
     # On a non-descent direction (g·d > -tolX) the reference stops; with
     # restart=True the history is cleared and the next iteration retries
     # from steepest descent, stopping only if that also fails.
@@ -205,57 +210,118 @@ def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
         no_progress, jnp.logical_and(bool(config.restart), k > 0))
 
     # ---- step size ----
+    # Each search returns (t, f_new, g_new, ls_evals, ls_fail); the
+    # whole thing is skipped (lax.cond below) when the direction already
+    # failed the descent check — the step would be discarded by keep_old
+    # anyway, so evaluating trials along it is wasted device work.
     g_abs_sum = jnp.sum(jnp.abs(state.g))
+    t0 = jnp.where(first,
+                   jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
+                   jnp.asarray(1.0, dt))
+    c1 = jnp.asarray(config.ls_c1, dt)
+
     if config.line_search == "none":
-        # Reference rule (custom_lbfgs.py:159-163): damped first step,
-        # then the fixed learning rate.
-        t = jnp.where(first,
-                      jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
-                      jnp.asarray(config.learning_rate, dt))
-        x_new = state.x + t * d
-        f_new, g_new = opfunc(x_new, batch)
-        ls_evals = jnp.int32(1)
+        def search(_):
+            # Reference rule (custom_lbfgs.py:159-163): damped first
+            # step, then the fixed learning rate.
+            t = jnp.where(first,
+                          jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
+                          jnp.asarray(config.learning_rate, dt))
+            f_new, g_new = opfunc(state.x + t * d, batch)
+            return t, f_new, g_new, jnp.int32(1), jnp.bool_(False)
     elif config.line_search == "armijo":
-        # Backtracking from the natural quasi-Newton step t=1 until the
-        # sufficient-decrease condition f(x+td) <= f + c1 t g·d holds.
-        # The common case (t0 accepted) costs one value-and-grad eval;
-        # rejected trials use loss-only evaluations (no wasted backward
-        # passes) with a single grad eval at the accepted step.
-        t0 = jnp.where(first,
-                       jnp.minimum(jnp.asarray(1.0, dt), 1.0 / g_abs_sum),
-                       jnp.asarray(1.0, dt))
-        c1 = jnp.asarray(config.ls_c1, dt)
-        f_t0, g_t0 = opfunc(state.x + t0 * d, batch)
+        def search(_):
+            # Backtracking from the natural quasi-Newton step t=1 until
+            # the sufficient-decrease condition f(x+td) <= f + c1 t g·d
+            # holds.  The common case (t0 accepted) costs one
+            # value-and-grad eval; rejected trials use loss-only
+            # evaluations (no wasted backward passes) with a single grad
+            # eval at the accepted step.
+            f_t0, g_t0 = opfunc(state.x + t0 * d, batch)
 
-        def accept_t0(_):
-            return t0, f_t0, g_t0, jnp.int32(1)
+            def accept_t0(_):
+                return t0, f_t0, g_t0, jnp.int32(1)
 
-        def backtrack(_):
-            def ls_cond(carry):
-                t, f_t, it = carry
-                armijo_ok = f_t <= state.f + c1 * t * gtd
-                return jnp.logical_and(jnp.logical_not(armijo_ok),
-                                       it < config.ls_backtracks)
+            def backtrack(_):
+                def ls_cond(carry):
+                    t, f_t, it = carry
+                    armijo_ok = f_t <= state.f + c1 * t * gtd
+                    return jnp.logical_and(jnp.logical_not(armijo_ok),
+                                           it < config.ls_backtracks)
 
-            def ls_body(carry):
-                t, _, it = carry
-                t = t * 0.5
-                return t, lossfunc(state.x + t * d, batch), it + 1
+                def ls_body(carry):
+                    t, _, it = carry
+                    t = t * 0.5
+                    return t, lossfunc(state.x + t * d, batch), it + 1
 
-            t, _, n_ls = jax.lax.while_loop(
-                ls_cond, ls_body, (t0, f_t0, jnp.int32(0)))
-            f_acc, g_acc = opfunc(state.x + t * d, batch)
-            return t, f_acc, g_acc, n_ls + 2
+                t, _, n_ls = jax.lax.while_loop(
+                    ls_cond, ls_body, (t0, f_t0, jnp.int32(0)))
+                f_acc, g_acc = opfunc(state.x + t * d, batch)
+                return t, f_acc, g_acc, n_ls + 2
 
-        t, f_new, g_new, ls_evals = jax.lax.cond(
-            f_t0 <= state.f + c1 * t0 * gtd, accept_t0, backtrack, None)
-        x_new = state.x + t * d
-        # Backtracking exhausted without sufficient decrease: treat as
-        # no-progress (keep the old iterate and stop).
-        no_progress = jnp.logical_or(
-            no_progress, f_new > state.f + c1 * t * gtd)
+            t, f_new, g_new, ls_evals = jax.lax.cond(
+                f_t0 <= state.f + c1 * t0 * gtd, accept_t0, backtrack, None)
+            # Backtracking exhausted without sufficient decrease:
+            # no progress (keep the old iterate).
+            fail = f_new > state.f + c1 * t * gtd
+            return t, f_new, g_new, ls_evals, fail
+    elif config.line_search == "wolfe":
+        def search(_):
+            # Weak-Wolfe bisection (Lewis–Overton): maintain a bracket
+            # [lo, hi]; shrink toward lo when sufficient decrease fails,
+            # advance/bisect when curvature fails.  Terminates with
+            # y·s = t·(g_new − g)·d ≥ (c2 − 1)·t·gtd > 0, so every
+            # accepted step produces a valid curvature pair — the
+            # property Armijo backtracking lacks and the reason
+            # scipy-style L-BFGS converges deeper on PINN losses.
+            c2 = jnp.asarray(config.ls_c2, dt)
+            inf = jnp.asarray(jnp.inf, dt)
+            f_t0, g_t0 = opfunc(state.x + t0 * d, batch)
+
+            def ws_cond(carry):
+                t, f_t, g_t, lo, hi, n, ok = carry
+                return jnp.logical_and(jnp.logical_not(ok),
+                                       n < config.ls_backtracks)
+
+            def ws_body(carry):
+                t, f_t, g_t, lo, hi, n, _ = carry
+                armijo = f_t <= state.f + c1 * t * gtd
+                curv = jnp.vdot(g_t, d) >= c2 * gtd
+                ok = jnp.logical_and(armijo, curv)
+
+                def keep(_):
+                    return t, f_t, g_t, lo, hi, n, jnp.bool_(True)
+
+                def refine(_):
+                    hi_n = jnp.where(armijo, hi, t)
+                    lo_n = jnp.where(armijo, t, lo)
+                    t_n = jnp.where(
+                        jnp.isinf(hi_n), 2.0 * lo_n, 0.5 * (lo_n + hi_n))
+                    f_n, g_n = opfunc(state.x + t_n * d, batch)
+                    return t_n, f_n, g_n, lo_n, hi_n, n + 1, jnp.bool_(False)
+
+                return jax.lax.cond(ok, keep, refine, None)
+
+            t, f_new, g_new, _, _, ls_evals, _ = jax.lax.while_loop(
+                ws_cond, ws_body,
+                (t0, f_t0, g_t0, jnp.zeros((), dt), inf, jnp.int32(1),
+                 jnp.bool_(False)))
+            # Budget exhausted: accept the final trial if it at least
+            # decreases sufficiently (the memory-update curvature guard
+            # rejects the pair if y·s ≤ 0); otherwise no progress.
+            fail = f_new > state.f + c1 * t * gtd
+            return t, f_new, g_new, ls_evals, fail
     else:
         raise ValueError(f"unknown line_search {config.line_search!r}")
+
+    def skip(_):
+        return (jnp.zeros((), dt), state.f, state.g, jnp.int32(0),
+                jnp.bool_(False))
+
+    t, f_new, g_new, ls_evals, ls_fail = jax.lax.cond(
+        no_progress, skip, search, None)
+    x_new = state.x + t * d
+    no_progress = jnp.logical_or(no_progress, ls_fail)
 
     # ---- convergence checks on the new point ----
     n_evals = state.n_evals + ls_evals

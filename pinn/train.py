@@ -62,8 +62,22 @@ class Trainer:
     def __init__(self, loss_fn: Callable[[Any, Any], jnp.ndarray], params0,
                  batch: Any, hp: dict, logger: Optional[Logger] = None,
                  epoch_extra: Optional[Callable[[Any], str]] = None,
-                 mesh=None):
+                 mesh=None, resample_fn: Optional[Callable[[int], Any]] = None,
+                 params_callback: Optional[Callable[[Any], None]] = None):
         self.loss_fn = loss_fn
+        self.mesh = mesh
+        # Called with the current params pytree right before every log
+        # line (and at train end) — lets facades/error_fn closures track
+        # the live iterate without reaching into Trainer internals.
+        self.params_callback = params_callback
+        # resample_fn(round) -> fresh batch pytree.  Driven by the
+        # hp keys "tf_resample" / "nt_resample" (epochs between
+        # collocation refreshes in each phase; 0/absent = off).  A
+        # fixed LHS draw is what the optimizer overfits to — periodic
+        # redraws break that floor (the L-BFGS history is reset on
+        # refresh since the old curvature pairs describe a different
+        # loss surface).
+        self.resample_fn = resample_fn
         if mesh is not None:
             # Shard every batch array along its leading (point) axis and
             # replicate the KB-scale params; GSPMD inserts the ICI
@@ -87,22 +101,47 @@ class Trainer:
 
     # -- logging helpers ---------------------------------------------------
     def _log(self, method: str, *args, **kw):
+        if self.params_callback is not None:
+            self.params_callback(self.params)
         if self.logger is not None:
             getattr(self.logger, method)(*args, **kw)
 
     def _extra(self) -> str:
         return self.epoch_extra(self.params) if self.epoch_extra else ""
 
+    def summary(self) -> str:
+        """Param-shape report printed by the logger when
+        hp["model_description"] is set (reference logger.py:42-43)."""
+        leaves = jax.tree_util.tree_leaves_with_path(self.params)
+        total = sum(int(jnp.size(v)) for _, v in leaves)
+        lines = [f"  {jax.tree_util.keystr(k)}: {tuple(v.shape)} "
+                 f"{jnp.dtype(v.dtype).name}" for k, v in leaves]
+        lines.append(f"  total parameters: {total}")
+        return "\n".join(lines)
+
+    def _resample(self, round_idx: int) -> None:
+        batch = self.resample_fn(round_idx)
+        if self.mesh is not None:
+            from pinn.parallel import shard_points
+            batch = jax.tree_util.tree_map(
+                lambda a: shard_points(a, self.mesh), batch)
+        self.batch = batch
+
     # -- phases ------------------------------------------------------------
     def _adam_phase(self):
         self._log("log_train_opt", "Adam")
         opt_state = self.adam.init(self.params)
+        every = self.hp.get("tf_resample", 0) if self.resample_fn else 0
         done = 0
         while done < self.tf_epochs:
+            if every and done and done % every == 0:
+                self._resample(done)
             # Land exactly on log boundaries even when log_frequency
             # is not a multiple of CHUNK_CAP.
             chunk = min(self.CHUNK_CAP, self.tf_epochs - done,
                         self.frequency - (done % self.frequency))
+            if every:
+                chunk = min(chunk, every - (done % every))
             self.params, opt_state, losses = self.adam.run(
                 self.params, opt_state, self.batch, chunk)
             # losses[0] is the loss at epoch `done` (pre-update), i.e.
@@ -153,10 +192,32 @@ class Trainer:
 
         state = lb.lbfgs_init(opfunc, flat, self.nt_config, self.batch)
         run = lb.make_lbfgs_run(opfunc, self.nt_config, lossfunc)
+        every = self.hp.get("nt_resample", 0) if self.resample_fn else 0
         done = 0
-        while done < self.nt_config.max_iter and int(state.reason) == lb.RUNNING:
+        resampled_at = -1
+
+        def refresh(i):
+            # Fresh collocation draw: the loss surface changed, so
+            # restart the quasi-Newton model at the current iterate
+            # (history/curvature pairs describe the old surface).
+            self._resample(i)
+            return lb.lbfgs_init(opfunc, state.x, self.nt_config, self.batch)
+
+        while done < self.nt_config.max_iter:
+            if int(state.reason) != lb.RUNNING:
+                # Terminal on the current draw.  With resampling on,
+                # a stall (f-tol / no-progress) on one draw is not
+                # convergence of the true loss — revive on a fresh
+                # batch, unless this draw already started here.
+                if not every or done == resampled_at:
+                    break
+                state, resampled_at = refresh(done), done
+            elif every and done and done % every == 0 and done != resampled_at:
+                state, resampled_at = refresh(done), done
             chunk = min(self.CHUNK_CAP, self.nt_config.max_iter - done,
                         self.frequency - (done % self.frequency))
+            if every:
+                chunk = min(chunk, every - (done % every))
             state, f_hist = run(state, self.batch, chunk)
             done += chunk
             self.params = to_params(state.x)
@@ -180,7 +241,9 @@ class Trainer:
         ctx = (jax.profiler.trace(trace_dir) if trace_dir
                else contextlib.nullcontext())
         with ctx:
-            self._log("log_train_start", self)
+            self._log("log_train_start", self,
+                      model_description=self.hp.get("model_description",
+                                                    False))
             if self.tf_epochs > 0:
                 self._adam_phase()
             self._lbfgs_phase()

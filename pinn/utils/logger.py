@@ -63,6 +63,11 @@ class Logger:
         self._print("\nTraining started")
         self._print("================")
         self.model = model
+        # Reference utils/logger.py:42-43: print the model summary on
+        # request (Keras model.summary(); here any object with a
+        # summary() -> str).
+        if model_description and hasattr(model, "summary"):
+            self._print(model.summary())
 
     def log_train_epoch(self, epoch: int, loss, custom: str = "",
                         is_iter: bool = False) -> None:

@@ -202,3 +202,45 @@ def test_armijo_lossonly_backtracking_matches():
     state, _ = run(state, None, 25)
     np.testing.assert_allclose(np.asarray(s1.x), np.asarray(state.x),
                                rtol=1e-12)
+
+
+def test_wolfe_line_search_rosenbrock_converges():
+    """Weak-Wolfe bisection solves Rosenbrock to high accuracy."""
+    def opfunc(x, batch=None):
+        def f(z):
+            return 100.0 * (z[1] - z[0] ** 2) ** 2 + (1 - z[0]) ** 2
+        return f(x), jax.grad(f)(x)
+
+    x0 = jnp.array([-1.2, 1.0], dtype=jnp.float64)
+    config = lb.LbfgsConfig(max_iter=200, n_correction=20,
+                            line_search="wolfe", restart=True)
+    state = lb.minimize(opfunc, x0, config)
+    np.testing.assert_allclose(np.asarray(state.x), np.ones(2),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_wolfe_curvature_pairs_positive():
+    """Every accepted Wolfe step yields a usable pair y.s > 0, so the
+    history fills at full rate (no curvature-guard rejections)."""
+    opfunc, x_star = quad_opfunc(dim=12, seed=3)
+    config = lb.LbfgsConfig(max_iter=30, n_correction=30,
+                            line_search="wolfe")
+    state = lb.minimize(opfunc, jnp.zeros_like(x_star), config)
+    # On a convex quadratic, all post-first iterations produce pairs.
+    assert int(state.k) == min(int(state.n_iter) - 1, 30) or \
+        int(state.reason) != lb.RUNNING
+    S, Y = np.asarray(state.S), np.asarray(state.Y)
+    filled = int(state.k)
+    ys = np.einsum("ij,ij->i", S, Y)
+    assert np.all(np.sort(ys)[-filled:] > 0)
+
+
+def test_wolfe_beats_or_matches_armijo_on_quadratic():
+    opfunc, x_star = quad_opfunc(dim=20, seed=4)
+    x0 = jnp.zeros_like(x_star)
+    f_star = float(opfunc(x_star)[0])
+    gap = {}
+    for ls in ("armijo", "wolfe"):
+        config = lb.LbfgsConfig(max_iter=40, n_correction=10, line_search=ls)
+        gap[ls] = float(lb.minimize(opfunc, x0, config).f) - f_star
+    assert gap["wolfe"] <= gap["armijo"] + 1e-12

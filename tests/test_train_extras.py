@@ -1,0 +1,105 @@
+"""Trainer extras added in round 2: collocation resampling,
+params_callback, model_description summary, .npy data loading."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn.data import load_burgers
+from pinn.models import mlp
+from pinn.train import Trainer
+from pinn.utils.logger import Logger
+
+
+def _quad_setup(key=0):
+    """Tiny least-squares problem: fit an MLP to u = sin(pi x)."""
+    params = mlp.init_mlp(jax.random.PRNGKey(key), [1, 8, 1], jnp.float32)
+    lb, ub = jnp.array([-1.0]), jnp.array([1.0])
+    X = jnp.linspace(-1, 1, 32).reshape(-1, 1)
+    u = jnp.sin(np.pi * X)
+
+    def loss_fn(p, b):
+        pred = mlp.apply(p, b["X"], lb, ub)
+        return jnp.mean((pred - b["u"]) ** 2)
+
+    return params, {"X": X, "u": u}, loss_fn
+
+
+def test_resample_fn_called_and_descends():
+    params, batch, loss_fn = _quad_setup()
+    calls = []
+
+    def resample_fn(i):
+        calls.append(i)
+        return batch  # same data: pure plumbing check
+
+    hp = {"tf_epochs": 12, "tf_resample": 4, "nt_epochs": 10, "tf_lr": 0.01,
+          "nt_resample": 5, "nt_line_search": "wolfe",
+          "log_frequency": 100}
+    tr = Trainer(loss_fn, params, batch, hp, resample_fn=resample_fn)
+    f0 = float(loss_fn(params, batch))
+    p = tr.fit()
+    assert float(loss_fn(p, batch)) < f0
+    # Adam refreshes at 4, 8; L-BFGS at 5 (plus stall revivals).
+    assert 4 in calls and 8 in calls and 5 in calls
+
+
+def test_resample_revives_stalled_lbfgs():
+    """A terminal stop on one draw must not end training when
+    resampling is on — unless the fresh draw stalls immediately too."""
+    params, batch, loss_fn = _quad_setup()
+
+    draws = []
+
+    def resample_fn(i):
+        draws.append(i)
+        return batch
+
+    # tol_x is huge by default standards? Use the normal config; force
+    # an early F_TOL stall by making the loss flat: constant target.
+    flat_batch = {"X": batch["X"], "u": jnp.zeros_like(batch["u"])}
+    hp = {"tf_epochs": 0, "nt_epochs": 40, "nt_resample": 10,
+          "nt_line_search": "wolfe", "log_frequency": 100}
+    tr = Trainer(loss_fn, params, flat_batch, hp, resample_fn=resample_fn)
+    tr.fit()  # must terminate (no infinite revive loop)
+
+
+def test_params_callback_sees_live_iterate():
+    params, batch, loss_fn = _quad_setup()
+    seen = []
+    hp = {"tf_epochs": 6, "nt_epochs": 0, "log_frequency": 2, "tf_lr": 0.01}
+    tr = Trainer(loss_fn, params, batch, hp,
+                 params_callback=lambda p: seen.append(p))
+    tr.fit()
+    assert len(seen) >= 3
+    # Later snapshots differ from the initial params (training moved).
+    first = jax.tree_util.tree_leaves(seen[0])[0]
+    last = jax.tree_util.tree_leaves(seen[-1])[0]
+    assert not np.allclose(np.asarray(first), np.asarray(last))
+
+
+def test_model_description_prints_summary():
+    params, batch, loss_fn = _quad_setup()
+    lines = []
+    hp = {"tf_epochs": 2, "nt_epochs": 0, "log_frequency": 10, "tf_lr": 0.01,
+          "model_description": True}
+    logger = Logger(hp, print_fn=lines.append)
+    Trainer(loss_fn, params, batch, hp, logger).fit()
+    text = "\n".join(str(x) for x in lines)
+    assert "total parameters:" in text
+
+
+def test_load_burgers_npy_triple(tmp_path):
+    """Reference .npy triple loads through the same entry point
+    (reference datagen/1d-burgers/datagen_old.py:7-16)."""
+    x, t, usol = load_burgers()
+    np.save(tmp_path / "b_x.npy", x.ravel())
+    np.save(tmp_path / "b_t.npy", t.ravel())
+    np.save(tmp_path / "b_u.npy", usol)
+    for member in ("b_u.npy", "b_x.npy", "b_t.npy"):
+        x2, t2, u2 = load_burgers(str(tmp_path / member))
+        np.testing.assert_array_equal(x2, x)
+        np.testing.assert_array_equal(t2, t)
+        np.testing.assert_array_equal(u2, usol)
