@@ -62,11 +62,31 @@ def run(hp=None, plot=False, save_path=None):
     net = mlp.init_mlp(key, hp["layers"], dtype)
     net = maybe_load_params(hp, net)
 
+    # hp["tpu_mesh"]: shard the collocation axis over the first N
+    # devices (true/0 = all).  Collocation points are padded to the
+    # mesh size with masked weights so the loss is bit-equal to the
+    # unsharded run (SURVEY.md §2.5 DP row).
+    mesh, f_w = None, None
+    if hp.get("tpu_mesh"):
+        from pinn.parallel import make_mesh, pad_points_with_weights
+        req = hp["tpu_mesh"]
+        mesh = make_mesh(None if req is True else int(req))
+
+        def pad_Xf(X_f_np):
+            Xp, w = pad_points_with_weights(np.asarray(X_f_np),
+                                            mesh.devices.size)
+            return jnp.asarray(Xp, dtype), jnp.asarray(w, dtype)
+
+        X_f, f_w = pad_Xf(data.X_f)
+
     batch = {"X_u": X_u, "u": u, "X_f": X_f}
+    if f_w is not None:
+        batch["f_w"] = f_w
 
     def loss_fn(p, b):
         return burgers.loss_cont_inference(p, b["X_u"], b["u"], b["X_f"],
-                                           lb, ub, nu)
+                                           lb, ub, nu,
+                                           f_weights=b.get("f_w"))
 
     predict_u = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
     residual_f = jax.jit(lambda p, X: burgers.residual_cont(p, X, lb, ub, nu=nu))
@@ -76,10 +96,16 @@ def run(hp=None, plot=False, save_path=None):
         # data points stay fixed.  Active via hp tf_resample/nt_resample.
         rng = np.random.RandomState(hp.get("seed", 1234) + i)
         X_f_new = data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng)
-        return {"X_u": X_u, "u": u, "X_f": jnp.asarray(X_f_new, dtype)}
+        b = dict(batch)
+        if mesh is None:
+            b["X_f"] = jnp.asarray(X_f_new, dtype)
+        else:
+            b["X_f"], b["f_w"] = pad_Xf(X_f_new)
+        return b
 
     logger = Logger(hp)
-    trainer = Trainer(loss_fn, net, batch, hp, logger, resample_fn=resample_fn)
+    trainer = Trainer(loss_fn, net, batch, hp, logger, mesh=mesh,
+                      resample_fn=resample_fn)
 
     def error():
         u_pred = np.asarray(predict_u(trainer.params, X_star))

@@ -115,6 +115,25 @@ def main():
     save_result_dir("experiments", {"bench": "inf_cont_burgers",
                                     "quick": QUICK})
 
+    # 3D training-set scatter views (reference
+    # inf_cont_burgers_bench.py:111-136): the domain-sampled NN data set
+    # and the boundary/initial + collocation PINN data set.
+    from pinn.data import burgers_cont_identification, burgers_cont_inference
+    np.random.seed(1234)
+    d_dom = burgers_cont_identification(2000)
+    np.random.seed(1234)
+    d_bnd = burgers_cont_inference(100, 1000)
+    for d, name in ((d_dom, "burgers_data_domain"),
+                    (d_bnd, "burgers_data_inibnd")):
+        fig = plt.figure(figsize=(5, 4))
+        ax3 = fig.add_subplot(projection="3d")
+        ax3.scatter(d.X_u_train[:, 0], d.X_u_train[:, 1],
+                    d.u_train.ravel(), s=4)
+        ax3.set_xlabel("x")
+        ax3.set_ylabel("t")
+        ax3.set_zlabel("u(x, t)")
+        save_result_dir("experiments", {"bench": name})
+
 
 if __name__ == "__main__":
     main()

@@ -66,6 +66,19 @@ def run(hp=None, plot=False, save_path=None):
         "X_lb": jnp.asarray(X_lb, dtype), "X_ub": jnp.asarray(X_ub, dtype),
         "X_f": jnp.asarray(data.X_f, dtype),
     }
+    # hp["tpu_mesh"]: shard the collocation axis over the first N
+    # devices (true/0 = all); small IC/BC stacks are replicated by the
+    # Trainer, collocation points padded with masked weights so the
+    # loss is bit-equal to the unsharded run (SURVEY.md §2.5 DP row).
+    mesh = None
+    if hp.get("tpu_mesh"):
+        from pinn.parallel import make_mesh, pad_points_with_weights
+        req = hp["tpu_mesh"]
+        mesh = make_mesh(None if req is True else int(req))
+        Xp, w = pad_points_with_weights(np.asarray(data.X_f),
+                                        mesh.devices.size)
+        batch["X_f"] = jnp.asarray(Xp, dtype)
+        batch["f_w"] = jnp.asarray(w, dtype)
     X_star = jnp.asarray(data.X_star, dtype)
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
@@ -73,10 +86,11 @@ def run(hp=None, plot=False, save_path=None):
 
     def loss_fn(p, b):
         return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"], b["X_ub"],
-                                b["X_f"], lb, ub)
+                                b["X_f"], lb, ub, f_weights=b.get("f_w"))
 
     terms_fn = jax.jit(lambda p, b: schrodinger.loss_terms(
-        p, b["X0"], b["H0"], b["X_lb"], b["X_ub"], b["X_f"], lb, ub))
+        p, b["X0"], b["H0"], b["X_lb"], b["X_ub"], b["X_f"], lb, ub,
+        b.get("f_w")))
     predict_h = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
 
     logger = Logger(hp)
@@ -90,7 +104,7 @@ def run(hp=None, plot=False, save_path=None):
                 f"mse_f = {float(t.mse_f):.4e}")
 
     trainer = Trainer(loss_fn, net, batch, hp, logger,
-                      epoch_extra=epoch_extra)
+                      epoch_extra=epoch_extra, mesh=mesh)
 
     def error():
         H = np.asarray(predict_h(trainer.params, X_star))

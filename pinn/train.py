@@ -41,6 +41,27 @@ def lbfgs_config_from_hp(hp: dict) -> lb.LbfgsConfig:
     )
 
 
+def _shard_batch(batch, mesh):
+    """Shard each batch array along its leading (point) axis when that
+    axis divides the mesh; replicate the rest.
+
+    The big collocation set is the scaling axis and must divide (pad it
+    with ``pinn.parallel.pad_points_with_weights`` + the losses'
+    ``f_weights`` otherwise); small data/boundary stacks (N_u ~ 100)
+    are cheaper replicated than padded, and their loss terms stay
+    bit-exact.  GSPMD inserts the ICI reductions either way.
+    """
+    from pinn.parallel import replicate, shard_points
+    n = mesh.devices.size
+
+    def place(a):
+        if jnp.ndim(a) >= 1 and a.shape[0] % n == 0:
+            return shard_points(a, mesh)
+        return replicate(a, mesh)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
 class Trainer:
     """Drives ``loss_fn(params, batch) -> scalar`` through both phases.
 
@@ -79,14 +100,8 @@ class Trainer:
         # loss surface).
         self.resample_fn = resample_fn
         if mesh is not None:
-            # Shard every batch array along its leading (point) axis and
-            # replicate the KB-scale params; GSPMD inserts the ICI
-            # reductions for the loss means. Leading dims must divide
-            # the mesh size (use pinn.parallel.pad_points_with_weights
-            # plus loss f_weights otherwise).
-            from pinn.parallel import replicate, shard_points
-            batch = jax.tree_util.tree_map(
-                lambda a: shard_points(a, mesh), batch)
+            batch = _shard_batch(batch, mesh)
+            from pinn.parallel import replicate
             params0 = replicate(params0, mesh)
         self.batch = batch
         self.params = params0
@@ -122,9 +137,7 @@ class Trainer:
     def _resample(self, round_idx: int) -> None:
         batch = self.resample_fn(round_idx)
         if self.mesh is not None:
-            from pinn.parallel import shard_points
-            batch = jax.tree_util.tree_map(
-                lambda a: shard_points(a, self.mesh), batch)
+            batch = _shard_batch(batch, self.mesh)
         self.batch = batch
 
     # -- phases ------------------------------------------------------------

@@ -49,7 +49,7 @@ KNOWN_KEYS = {
     # framework extras
     "dtype", "nt_line_search", "nt_restart", "nt_vector_dtype",
     "trace_dir", "init_checkpoint", "save_checkpoint", "seed",
-    "tf_resample", "nt_resample", "model_description",
+    "tf_resample", "nt_resample", "model_description", "tpu_mesh",
 }
 
 

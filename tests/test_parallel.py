@@ -124,3 +124,29 @@ def test_trainer_sharded_matches_single_device(mesh):
     for (w1, _), (w2, _) in zip(p_single, p_shard):
         np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
                                    rtol=5e-5, atol=1e-7)
+
+
+def test_experiment_tpu_mesh_hp_matches_unsharded(mesh):
+    """hp["tpu_mesh"] routes the flagship experiments through the mesh
+    with the same training result as the unsharded run (VERDICT item:
+    multi-chip capability reachable from the entry points)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments"))
+    import inf_cont_burgers
+    import inf_cont_schrodinger
+
+    for mod, extra in ((inf_cont_burgers, {}),
+                       (inf_cont_schrodinger, {})):
+        hp = {"tf_epochs": 8, "nt_epochs": 8, "log_frequency": 100,
+              "N_f": 100 + 4,  # deliberately not divisible by 8 -> pads
+              **extra}
+        base = mod.run(dict(hp))
+        sharded = mod.run({**hp, "tpu_mesh": 8})
+        # Same training outcome; sharded reductions reorder f32 sums,
+        # and over dozens of optimizer steps that divergence compounds
+        # (single-step loss equality is asserted bit-tight in
+        # test_sharded_loss_matches_single_device above).
+        np.testing.assert_allclose(sharded["error"], base["error"],
+                                   rtol=5e-2)
