@@ -1,0 +1,410 @@
+"""Pallas TPU kernel: fused Burgers residual-loss FORWARD + BACKWARD.
+
+The training hot loop (SURVEY.md §3.1) is dominated by the gradient of
+the residual sum-of-squares
+
+    SSE_f(params) = sum_i f(x_i)^2,   f = u_t + u u_x - nu u_xx
+
+where u and its input derivatives come from the Taylor-mode forward
+(``pinn.models.mlp.taylor_apply``).  XLA differentiates that forward
+mechanically: every layer's four derivative streams (value, d/dx,
+d2/dx2, d/dt) are separate (N, h) matmuls in both passes, and the
+saved activations round-trip through HBM between the forward and
+backward halves of ``value_and_grad``.
+
+This kernel does what the autodiff cannot:
+
+- **Stream stacking**: all four streams multiply the *same* weight
+  matrix, so each layer's four (h, T) matmuls become one (h, 4T) MXU
+  call — 4x fewer MXU launches, same FLOPs, and the weight-gradient
+  contraction becomes a single (h, 4T) @ (4T, h) matmul with the big
+  dimension on K, where the MXU is most efficient.
+- **Full fusion + rematerialization**: forward streams, the loss
+  reduction, and the entire backward run per point-tile inside VMEM;
+  no activation is ever written to HBM (the backward rematerializes
+  the forward from the tile's saved tanh/tangent buffers in VMEM).
+- **Features-major layout**: points ride the 128-lane axis, the
+  20-wide feature dimension sits on sublanes (see
+  pallas_residual.py measurements).
+
+The public entry is :func:`burgers_sse_and_grad_fn`, returning a
+``jax.custom_vjp``-wrapped ``sse(params, X_f) -> scalar`` that is a
+drop-in differentiable building block: compose the full reference loss
+as ``mse_u + sse_f / N_f`` and feed it to the existing Adam/L-BFGS
+trainers.  Gradient-tested against the ``jax.grad`` oracle of the pure
+Taylor-engine loss (tests/test_pallas_train.py).
+
+float32 only (the TPU fast path; f64 parity runs use the XLA engine).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024
+
+
+def _layer_fwd(wt, b, a_cat, T, first=False, z1row=None, z2row=None):
+    """One stacked-stream layer: Z_cat = wt @ a_cat (+ bias on the value
+    columns), then the tanh/tangent recombination.
+
+    Returns (a_cat_out, t, z1, z11, z2) — the latter four are what the
+    backward needs to rematerialize this layer.
+    """
+    if first:
+        # a_cat is just a0 (din, T); the tangent rows are constant:
+        # z1/z2 are (h, 1) broadcasts and z11 is exactly zero.
+        zv = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32) + b
+        z1 = jnp.broadcast_to(z1row, zv.shape)
+        z11 = jnp.zeros_like(zv)
+        z2 = jnp.broadcast_to(z2row, zv.shape)
+    else:
+        Z = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
+        zv = Z[:, 0 * T:1 * T] + b
+        z1 = Z[:, 1 * T:2 * T]
+        z11 = Z[:, 2 * T:3 * T]
+        z2 = Z[:, 3 * T:4 * T]
+    t = jnp.tanh(zv)
+    sp = 1.0 - t * t
+    spp = -2.0 * t * sp
+    a_cat_out = jnp.concatenate(
+        [t, sp * z1, spp * z1 * z1 + sp * z11, sp * z2], axis=1)
+    return a_cat_out, t, z1, z11, z2
+
+
+def _layer_bwd(wt, t, z1, z11, z2, g_cat, T):
+    """Backward of the tanh/tangent recombination + the stacked matmul.
+
+    ``g_cat`` (h, 4T) holds the adjoints of this layer's four outputs.
+    Returns (gZ_cat, g_in_cat) where gZ_cat are the adjoints of the
+    pre-activation streams (for the weight gradient) and g_in_cat the
+    adjoints of the layer inputs.
+    """
+    g0 = g_cat[:, 0 * T:1 * T]
+    g1 = g_cat[:, 1 * T:2 * T]
+    g2 = g_cat[:, 2 * T:3 * T]
+    g3 = g_cat[:, 3 * T:4 * T]
+    sp = 1.0 - t * t
+    spp = -2.0 * t * sp
+    # d(outputs)/dt summed over the four streams, then through tanh'.
+    gt = (g0
+          + g1 * (-2.0 * t * z1)
+          + g2 * ((6.0 * t * t - 2.0) * z1 * z1 - 2.0 * t * z11)
+          + g3 * (-2.0 * t * z2))
+    gz_v = sp * gt
+    gz_1 = g1 * sp + g2 * (2.0 * spp * z1)
+    gz_11 = g2 * sp
+    gz_2 = g3 * sp
+    gZ_cat = jnp.concatenate([gz_v, gz_1, gz_11, gz_2], axis=1)
+    g_in_cat = jnp.dot(wt.T, gZ_cat, preferred_element_type=jnp.float32)
+    return gZ_cat, g_in_cat
+
+
+def _fwd_kernel(n_hidden: int, nu: float, n_real: int, T: int,
+                x_ref, z1row_ref, z2row_ref, *refs):
+    """Forward only: accumulate SSE over tiles.  refs: [Wt,b]*L + [sse]."""
+    wref = refs[:-1]
+    sse_ref = refs[-1]
+    i = pl.program_id(0)
+
+    a_cat = x_ref[:]  # (din, T), layer-0 input (pre-normalized by caller)
+    z1row = z1row_ref[:]
+    z2row = z2row_ref[:]
+
+    a_cat, *_ = _layer_fwd(wref[0][:], wref[1][:], a_cat, T,
+                           first=True, z1row=z1row, z2row=z2row)
+    for l in range(1, n_hidden):
+        a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
+
+    wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+    U = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
+    u = U[:, 0 * T:1 * T] + b
+    u_x = U[:, 1 * T:2 * T]
+    u_xx = U[:, 2 * T:3 * T]
+    u_t = U[:, 3 * T:4 * T]
+
+    f = u_t + u * u_x - nu * u_xx
+    col = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+    f = jnp.where(i * T + col < n_real, f, 0.0)
+
+    @pl.when(i == 0)
+    def _():
+        sse_ref[0, 0] = 0.0
+
+    sse_ref[0, 0] += jnp.sum(f * f)
+
+
+def _make_fwd_bwd_kernel(n_hidden: int, nu: float, n_real: int, T: int):
+    """Build the fused kernel with layer count baked in (static python
+    loops; Mosaic unrolls them)."""
+    n_layers = n_hidden + 1
+
+    def kernel(x_ref, z1row_ref, z2row_ref, *refs):
+        wref = refs[:2 * n_layers]
+        sse_ref = refs[2 * n_layers]
+        gw_refs = refs[2 * n_layers + 1: 4 * n_layers + 1]
+        gz1row_ref = refs[4 * n_layers + 1]
+        gz2row_ref = refs[4 * n_layers + 2]
+        saved = refs[4 * n_layers + 3:]   # n_hidden VMEM scratch blocks
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            sse_ref[0, 0] = 0.0
+            for r in gw_refs:
+                r[:] = jnp.zeros_like(r)
+            gz1row_ref[:] = jnp.zeros_like(gz1row_ref)
+            gz2row_ref[:] = jnp.zeros_like(gz2row_ref)
+
+        a0 = x_ref[:]                       # (din, T)
+        # ---- forward, saving (t | z1 | z11 | z2) per hidden layer ----
+        a_cat, t, z1, z11, z2 = _layer_fwd(
+            wref[0][:], wref[1][:], a0, T,
+            first=True, z1row=z1row_ref[:], z2row=z2row_ref[:])
+        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+        for l in range(1, n_hidden):
+            a_cat, t, z1, z11, z2 = _layer_fwd(
+                wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
+            saved[l][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+
+        wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+        U = jnp.dot(wt_out, a_cat, preferred_element_type=jnp.float32)
+        u = U[:, 0 * T:1 * T] + b_out
+        u_x = U[:, 1 * T:2 * T]
+        u_xx = U[:, 2 * T:3 * T]
+        u_t = U[:, 3 * T:4 * T]
+
+        # ---- loss + its adjoints ----
+        f = u_t + u * u_x - nu * u_xx
+        col = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+        f = jnp.where(i * T + col < n_real, f, 0.0)
+        sse_ref[0, 0] += jnp.sum(f * f)
+
+        g_f = 2.0 * f
+        gU = jnp.concatenate(
+            [g_f * u_x, g_f * u, -nu * g_f, g_f], axis=1)  # (1, 4T)
+
+        # ---- output layer backward ----
+        gw_refs[2 * n_hidden][:] += jnp.dot(
+            gU, a_cat.T, preferred_element_type=jnp.float32)
+        gw_refs[2 * n_hidden + 1][:] += jnp.sum(
+            g_f * u_x, axis=1, keepdims=True)
+        g_cat = jnp.dot(wt_out.T, gU, preferred_element_type=jnp.float32)
+
+        # ---- hidden layers backward (remat from saved buffers) ----
+        for l in range(n_hidden - 1, 0, -1):
+            S = saved[l][:]
+            t = S[:, 0 * T:1 * T]
+            z1 = S[:, 1 * T:2 * T]
+            z11 = S[:, 2 * T:3 * T]
+            z2 = S[:, 3 * T:4 * T]
+            gZ_cat, g_cat = _layer_bwd(wref[2 * l][:], t, z1, z11, z2,
+                                       g_cat, T)
+            # Layer input = previous layer's outputs, rematerialized.
+            Sp = saved[l - 1][:]
+            tp = Sp[:, 0 * T:1 * T]
+            z1p = Sp[:, 1 * T:2 * T]
+            z11p = Sp[:, 2 * T:3 * T]
+            z2p = Sp[:, 3 * T:4 * T]
+            spp_ = 1.0 - tp * tp
+            sppp = -2.0 * tp * spp_
+            a_in = jnp.concatenate(
+                [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
+                 spp_ * z2p], axis=1)
+            gw_refs[2 * l][:] += jnp.dot(
+                gZ_cat, a_in.T, preferred_element_type=jnp.float32)
+            gw_refs[2 * l + 1][:] += jnp.sum(
+                gZ_cat[:, 0:T], axis=1, keepdims=True)
+
+        # ---- first layer backward ----
+        S = saved[0][:]
+        t = S[:, 0 * T:1 * T]
+        z1 = S[:, 1 * T:2 * T]
+        z11 = S[:, 2 * T:3 * T]
+        z2 = S[:, 3 * T:4 * T]
+        gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T)
+        gz_v = gZ_cat[:, 0:T]
+        gw_refs[0][:] += jnp.dot(gz_v, a0.T,
+                                 preferred_element_type=jnp.float32)
+        gw_refs[1][:] += jnp.sum(gz_v, axis=1, keepdims=True)
+        # z1/z2 were broadcast rows: their adjoints are column sums.
+        gz1row_ref[:] += jnp.sum(gZ_cat[:, T:2 * T], axis=1, keepdims=True)
+        gz2row_ref[:] += jnp.sum(gZ_cat[:, 3 * T:4 * T], axis=1,
+                                 keepdims=True)
+
+    return kernel
+
+
+def _prep(params, X_f, lb, ub, dtype):
+    """Normalize points, transpose weights, build first-layer tangent
+    rows.  All XLA-side (cheap, (h, h)-scale)."""
+    lb = jnp.asarray(lb, dtype)
+    ub = jnp.asarray(ub, dtype)
+    scale = 2.0 / (ub - lb)
+    a0 = (2.0 * (X_f - lb) / (ub - lb) - 1.0).T      # (din, N)
+    w0 = params[0][0]
+    din = w0.shape[0]
+    vx = jnp.zeros((din,), dtype).at[0].set(scale[0])
+    vt = jnp.zeros((din,), dtype).at[1].set(scale[1])
+    z1row = (vx @ w0)[:, None]                       # (h1, 1)
+    z2row = (vt @ w0)[:, None]
+    wt_args = []
+    for w, b in params:
+        wt_args += [w.T, b[:, None] if b.ndim == 1 else b.reshape(-1, 1)]
+    return a0, z1row, z2row, wt_args, vx, vt
+
+
+def _pad_points(a0, n, T):
+    n_pad = (-n) % T
+    if n_pad:
+        a0 = jnp.pad(a0, ((0, 0), (0, n_pad)))
+    return a0, n + n_pad
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nu", "n_real", "interpret"))
+def _sse_fwd_call(wt_args, a0p, z1row, z2row, nu, n_real, interpret=False):
+    n_total = a0p.shape[1]
+    n_layers = len(wt_args) // 2
+    kernel = functools.partial(_fwd_kernel, n_layers - 1, nu, n_real, TILE)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
+    sse = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), a0p.dtype),
+        interpret=interpret,
+    )(a0p, z1row, z2row, *wt_args)
+    return sse[0, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nu", "n_real", "interpret"))
+def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, nu, n_real,
+                      interpret=False):
+    n_total = a0p.shape[1]
+    n_layers = len(wt_args) // 2
+    n_hidden = n_layers - 1
+    kernel = _make_fwd_bwd_kernel(n_hidden, nu, n_real, TILE)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), a0p.dtype)]       # sse
+    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    for wt in wt_args:
+        out_shapes.append(jax.ShapeDtypeStruct(wt.shape, wt.dtype))
+        out_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for zrow in (z1row, z2row):
+        out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, zrow.dtype))
+        out_specs.append(pl.BlockSpec(zrow.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), a0p.dtype)
+               for l in range(n_hidden)]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(a0p, z1row, z2row, *wt_args)
+    sse = outs[0][0, 0]
+    gwt = outs[1:1 + len(wt_args)]
+    gz1row, gz2row = outs[-2], outs[-1]
+    return sse, gwt, gz1row, gz2row
+
+
+def make_burgers_sse(lb, ub, nu: float, interpret: bool = False):
+    """Differentiable fused ``sse(params, X_f) -> scalar``.
+
+    ``jax.custom_vjp``-wrapped: the forward runs the fused residual
+    kernel; the backward runs the fused forward+backward kernel
+    (rematerializing activations in VMEM) and returns parameter
+    gradients.  X_f receives a zero cotangent (collocation points are
+    not trained).
+    """
+    nu = float(nu)
+    lb_arr = np.asarray(lb, np.float32)
+    ub_arr = np.asarray(ub, np.float32)
+
+    @jax.custom_vjp
+    def sse(params, X_f):
+        dtype = X_f.dtype
+        a0, z1row, z2row, wt_args, _, _ = _prep(params, X_f, lb_arr,
+                                                ub_arr, dtype)
+        a0p, _ = _pad_points(a0, X_f.shape[0], TILE)
+        return _sse_fwd_call(tuple(wt_args), a0p, z1row, z2row, nu,
+                             X_f.shape[0], interpret=interpret)
+
+    def sse_fwd(params, X_f):
+        return sse(params, X_f), (params, X_f)
+
+    def sse_bwd(res, g):
+        params, X_f = res
+        dtype = X_f.dtype
+        a0, z1row, z2row, wt_args, vx, vt = _prep(params, X_f, lb_arr,
+                                                  ub_arr, dtype)
+        a0p, _ = _pad_points(a0, X_f.shape[0], TILE)
+        _, gwt, gz1row, gz2row = _sse_fwd_bwd_call(
+            tuple(wt_args), a0p, z1row, z2row, nu, X_f.shape[0],
+            interpret=interpret)
+        grads = []
+        for l, (w, b) in enumerate(params):
+            gw = gwt[2 * l].T
+            gb = gwt[2 * l + 1][:, 0] if b.ndim == 1 else gwt[2 * l + 1]
+            if l == 0:
+                # z1row = (vx @ W0), z2row = (vt @ W0): fold their
+                # adjoints back into W0.
+                gw = gw + jnp.outer(vx, gz1row[:, 0]) \
+                        + jnp.outer(vt, gz2row[:, 0])
+            grads.append((g * gw, g * gb))
+        return tuple(grads), jnp.zeros_like(X_f)
+
+    sse.defvjp(sse_fwd, sse_bwd)
+    return sse
+
+
+def make_burgers_loss(lb, ub, nu: float, interpret: bool = False):
+    """Full reference loss with the fused kernel on the residual term:
+    ``loss(params, batch) = mse(u - u_pred) + sse_f / N_f``.
+
+    Drop-in for ``pinn.problems.burgers.loss_cont_inference`` on the
+    f32 TPU path; differentiable (custom VJP) and jit/scan-safe.
+    """
+    from pinn.models import mlp
+
+    sse = make_burgers_sse(lb, ub, nu, interpret=interpret)
+    lb_j = jnp.asarray(lb, jnp.float32)
+    ub_j = jnp.asarray(ub, jnp.float32)
+
+    def loss(params, batch):
+        u_pred = mlp.apply(params, batch["X_u"], lb_j, ub_j)
+        mse_u = jnp.mean(jnp.square(batch["u"] - u_pred))
+        n_f = batch["X_f"].shape[0]
+        return mse_u + sse(params, batch["X_f"]) / n_f
+
+    return loss

@@ -1,0 +1,83 @@
+"""Fused forward+backward training kernel vs the jax.grad oracle
+(interpret mode on CPU; the compiled path runs on TPU in bench.py)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn.models import mlp
+from pinn.ops import pallas_train
+from pinn.problems import burgers
+
+NU = 0.01 / np.pi
+
+
+def _setup(layers, n, seed=0):
+    dtype = jnp.float32
+    params = mlp.init_mlp(jax.random.PRNGKey(seed), layers, dtype)
+    lb = np.array([-1.0, 0.0], np.float32)
+    ub = np.array([1.0, 1.0], np.float32)
+    rng = np.random.RandomState(seed)
+    X_f = jnp.asarray(lb + (ub - lb) * rng.rand(n, 2), dtype)
+    return params, X_f, lb, ub
+
+
+def _oracle_sse(params, X_f, lb, ub):
+    f = burgers.residual_cont(params, X_f, jnp.asarray(lb), jnp.asarray(ub),
+                              nu=NU)
+    return jnp.sum(jnp.square(f))
+
+
+@pytest.mark.parametrize("layers,n", [
+    ([2, 20, 20, 20, 1], 300),       # ragged: exercises the pad mask
+    ([2, 20, 20, 20, 20, 20, 20, 20, 20, 1], 2048),  # flagship depth
+    ([2, 16, 1], 1024),              # single hidden layer
+])
+def test_fused_sse_value_matches_oracle(layers, n):
+    params, X_f, lb, ub = _setup(layers, n)
+    sse = pallas_train.make_burgers_sse(lb, ub, NU, interpret=True)
+    got = float(sse(params, X_f))
+    want = float(_oracle_sse(params, X_f, lb, ub))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("layers,n", [
+    ([2, 20, 20, 20, 1], 300),
+    ([2, 20, 20, 20, 20, 20, 20, 20, 20, 1], 2048),
+    ([2, 16, 1], 1024),
+])
+def test_fused_sse_grad_matches_oracle(layers, n):
+    params, X_f, lb, ub = _setup(layers, n)
+    sse = pallas_train.make_burgers_sse(lb, ub, NU, interpret=True)
+    g_fused = jax.grad(lambda p: sse(p, X_f))(params)
+    g_oracle = jax.grad(lambda p: _oracle_sse(p, X_f, lb, ub))(params)
+    for (gw1, gb1), (gw2, gb2) in zip(g_fused, g_oracle):
+        scale = max(1e-3, float(jnp.max(jnp.abs(gw2))))
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=5e-4, atol=5e-6 * scale)
+        np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2),
+                                   rtol=5e-4, atol=5e-6 * scale)
+
+
+def test_fused_loss_trains():
+    """The full fused loss is a drop-in for the Trainer loss_fn."""
+    params, X_f, lb, ub = _setup([2, 20, 20, 1], 512)
+    loss = pallas_train.make_burgers_loss(lb, ub, NU, interpret=True)
+    rng = np.random.RandomState(3)
+    batch = {"X_u": jnp.asarray(rng.rand(32, 2), jnp.float32),
+             "u": jnp.asarray(rng.rand(32, 1), jnp.float32),
+             "X_f": X_f}
+    val, grads = jax.value_and_grad(loss)(params, batch)
+    assert np.isfinite(float(val))
+    # One SGD step decreases the loss.
+    stepped = jax.tree_util.tree_map(lambda p, g: p - 1e-3 * g, params, grads)
+    assert float(loss(stepped, batch)) < float(val)
+
+    # And it matches the reference XLA loss value.
+    want = burgers.loss_cont_inference(
+        params, batch["X_u"], batch["u"], X_f,
+        jnp.asarray(lb), jnp.asarray(ub), NU)
+    np.testing.assert_allclose(float(val), float(want), rtol=1e-5)
