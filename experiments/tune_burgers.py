@@ -1,0 +1,89 @@
+"""Recipe probes for continuous-Burgers accuracy (VERDICT round-1 #2).
+
+Runs the staged flagship recipe (mixed f32+f64vec L-BFGS, then float64
+warm-start refinement) with configurable overrides — line search mode,
+collocation resampling cadence, N_f, seed — and prints one JSON line
+per probe.  Used to close the gap to the paper's ~6.7e-4 rel-L2
+(BASELINE.md) and to kill the seed lottery.
+
+Usage: python experiments/tune_burgers.py P1 P2 ...   (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+from _common import setup  # noqa: F401 (path side effect)
+
+import inf_cont_burgers as exp
+
+MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000}
+
+PROBES = {
+    # flagship (round-1 recipe) but with weak-Wolfe line search
+    "P1": {"stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe"},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+         "log_frequency": 1000, "nt_line_search": "wolfe"},
+    ]},
+    # + collocation resampling every 1000 L-BFGS iters in stage 1
+    "P2": {"stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+         "log_frequency": 1000, "nt_line_search": "wolfe"},
+    ]},
+    # resampling through the refinement stage too
+    "P3": {"stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+         "log_frequency": 1000, "nt_line_search": "wolfe",
+         "nt_resample": 1000},
+    ]},
+    # armijo + resampling (isolate the resampling effect)
+    "P4": {"stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+         "log_frequency": 1000},
+    ]},
+}
+
+
+def run_probe(name: str, seed: int = 1234) -> dict:
+    stages = PROBES[name]["stages"]
+    t0 = time.time()
+    ckpt = None
+    for i, stage in enumerate(stages):
+        hp = dict(stage)
+        hp["seed"] = seed
+        if ckpt:
+            hp["init_checkpoint"] = ckpt
+        if i + 1 < len(stages):
+            fd, ckpt = tempfile.mkstemp(suffix=".npz")
+            os.close(fd)
+            hp["save_checkpoint"] = ckpt
+        result = exp.run(hp, plot=False)
+    return {"probe": name, "seed": seed, "error": result["error"],
+            "duration_s": round(time.time() - t0, 1)}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seeds = [int(a.split("=")[1]) for a in sys.argv[1:]
+             if a.startswith("--seed=")] or [1234]
+    names = [a for a in args if a in PROBES] or list(PROBES)
+    for name in names:
+        for seed in seeds:
+            row = run_probe(name, seed)
+            print("PROBE " + json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "datagen"))
 
-from burgers_exact import burgers_viscous_exact  # noqa: E402
+from burgers_exact import (burgers_viscous_exact,  # noqa: E402
+                           burgers_viscous_periodic_exact)
 from schrodinger_exact import nls_split_step  # noqa: E402
 
 
@@ -33,6 +34,47 @@ def test_burgers_quadrature_convergence():
     coarse = burgers_viscous_exact(nu, x, t, quad_points=64)
     fine = burgers_viscous_exact(nu, x, t, quad_points=160)
     assert np.abs(coarse - fine).max() < 1e-7
+
+
+def test_burgers_periodic_exact_solves_the_pde():
+    # Independent check: the closed form must satisfy u_t + u u_x =
+    # nu u_xx (finite differences on a fine grid) and be 2*pi-periodic.
+    # Large-ish viscosity: the front must be resolved by the FD grid
+    # for the residual check to converge at O(dx^2).
+    nu = 0.5
+    nx, nt = 801, 801
+    x = np.linspace(0.0, 2 * np.pi, nx)
+    t = np.linspace(0.0, 1.0, nt)
+    u = burgers_viscous_periodic_exact(nu, x, t)
+    assert u.shape == (nx, nt)
+    np.testing.assert_allclose(u[0], u[-1], rtol=1e-12)
+    dx, dt = x[1] - x[0], t[1] - t[0]
+    u_t = (u[1:-1, 2:] - u[1:-1, :-2]) / (2 * dt)
+    u_x = (u[2:, 1:-1] - u[:-2, 1:-1]) / (2 * dx)
+    u_xx = (u[2:, 1:-1] - 2 * u[1:-1, 1:-1] + u[:-2, 1:-1]) / dx**2
+    resid = u_t + u[1:-1, 1:-1] * u_x - nu * u_xx
+    assert np.abs(resid).max() < 6e-3  # O(dx^2 + dt^2) discretization
+
+
+def test_burgers_periodic_exact_matches_cole_hopf_quotient():
+    # The value must equal 4 - 2 nu phi_x / phi with phi evaluated
+    # directly and phi_x by a numerical derivative (independent of the
+    # algebraic simplification used in the implementation).
+    nu = 0.1
+    x = np.linspace(0.3, 5.9, 41)
+    t = np.array([0.0, 0.5])
+    u = burgers_viscous_periodic_exact(nu, x, t)
+
+    def phi(xv, tv):
+        c = 4.0 * nu * (tv + 1.0)
+        return (np.exp(-((xv - 4 * tv) ** 2) / c)
+                + np.exp(-((xv - 4 * tv - 2 * np.pi) ** 2) / c))
+
+    h = 1e-6
+    for j, tv in enumerate(t):
+        phi_x = (phi(x + h, tv) - phi(x - h, tv)) / (2 * h)
+        expect = 4.0 - 2.0 * nu * phi_x / phi(x, tv)
+        np.testing.assert_allclose(u[:, j], expect, rtol=1e-8)
 
 
 def test_nls_conserves_mass_and_matches_ic():
