@@ -50,6 +50,30 @@ class AdamRunner:
         self.optimizer = adam_from_hp(hp)
         self.loss_fn = loss_fn
 
+        # hp["tf_net_dtype"] (e.g. "bfloat16"): evaluate the network/
+        # residual in a lower precision during the Adam warmup while the
+        # master weights, Adam moments, and update algebra stay in the
+        # model dtype.  The cast's VJP casts the cotangent back, so
+        # gradients accumulate at master precision.  bf16 is the MXU's
+        # native input width — this trades residual precision (harmless
+        # during warmup; L-BFGS refines later at full precision) for
+        # matmul throughput.
+        net_dtype = hp.get("tf_net_dtype")
+        if net_dtype is not None:
+            nd = jnp.dtype(net_dtype)
+
+            def cast(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(nd)
+                    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                    else a, tree)
+
+            base = loss_fn
+
+            def loss_fn(p, b):  # noqa: F811 — deliberate wrap
+                master = jax.tree_util.tree_leaves(p)[0].dtype
+                return base(cast(p), cast(b)).astype(master)
+
         @partial(jax.jit, static_argnums=3)
         def run(params, opt_state, batch, n_steps: int):
             def one_step(carry, _):

@@ -48,6 +48,7 @@ KNOWN_KEYS = {
     "nt_epochs", "nt_lr", "nt_ncorr", "log_frequency",
     # framework extras
     "dtype", "nt_line_search", "nt_restart", "nt_vector_dtype",
+    "tf_net_dtype",
     "trace_dir", "init_checkpoint", "save_checkpoint", "seed",
     "tf_resample", "nt_resample", "model_description", "tpu_mesh",
 }

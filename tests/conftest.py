@@ -30,6 +30,16 @@ import sys  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.fixture(autouse=True)
+def _x64_stays_enabled():
+    """Keep tests order-independent: experiments' ``resolve_dtype``
+    sets the global ``jax_enable_x64`` flag both ways (so same-process
+    multi-stage runs get independent stage dtypes), which would leak an
+    f32 stage's x64=False into whatever f64 test runs next."""
+    yield
+    jax.config.update("jax_enable_x64", True)
+
+
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(1234)

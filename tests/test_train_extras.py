@@ -91,6 +91,20 @@ def test_model_description_prints_summary():
     assert "total parameters:" in text
 
 
+def test_tf_net_dtype_bf16_keeps_f32_masters_and_descends():
+    """hp["tf_net_dtype"]="bfloat16": Adam evaluates the loss in bf16
+    but the master weights (and moments) stay in the model dtype."""
+    params, batch, loss_fn = _quad_setup()
+    hp = {"tf_epochs": 30, "nt_epochs": 0, "tf_lr": 0.01,
+          "tf_net_dtype": "bfloat16", "log_frequency": 100}
+    tr = Trainer(loss_fn, params, batch, hp)
+    f0 = float(loss_fn(params, batch))
+    p = tr.fit()
+    for leaf in jax.tree_util.tree_leaves(p):
+        assert leaf.dtype == jnp.float32
+    assert float(loss_fn(p, batch)) < f0
+
+
 def test_load_burgers_npy_triple(tmp_path):
     """Reference .npy triple loads through the same entry point
     (reference datagen/1d-burgers/datagen_old.py:7-16)."""
