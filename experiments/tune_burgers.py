@@ -53,6 +53,22 @@ PROBES = {
         {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
          "log_frequency": 1000},
     ]},
+    # P2 with a long f64 refinement (the paper's L-BFGS ran ~50k iters)
+    "P5": {"stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+         "log_frequency": 2000, "nt_line_search": "wolfe"},
+    ]},
+    # long refinement + resampled big draws (approximates the continuum
+    # loss instead of converging into one draw's floor)
+    "P7": {"stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+         "log_frequency": 2000, "nt_line_search": "wolfe",
+         "nt_resample": 2000, "N_f": 30000},
+    ]},
 }
 
 

@@ -1,2 +1,3 @@
 from pinn.parallel.mesh import (
-    make_mesh, shard_points, replicate, pad_points_with_weights)
+    make_mesh, make_mesh_2d, shard_points, shard_params_tp, replicate,
+    pad_points_with_weights)

@@ -7,8 +7,8 @@ import numpy as np
 import pytest
 
 from pinn.models import mlp
-from pinn.parallel import (make_mesh, pad_points_with_weights, replicate,
-                           shard_points)
+from pinn.parallel import (make_mesh, make_mesh_2d, pad_points_with_weights,
+                           replicate, shard_params_tp, shard_points)
 from pinn.problems import burgers
 
 
@@ -124,6 +124,52 @@ def test_trainer_sharded_matches_single_device(mesh):
     for (w1, _), (w2, _) in zip(p_single, p_shard):
         np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
                                    rtol=5e-5, atol=1e-7)
+
+
+def test_tp_2d_mesh_loss_and_grad_match_single_device():
+    """(data, model) 2-D mesh with Megatron-style alternating
+    column/row-parallel layer sharding (SURVEY.md §2.5 TP row):
+    GSPMD re-assembles activations with ICI psums; results must match
+    the unsharded run."""
+    mesh2 = make_mesh_2d(4, 2)
+    params, batch, loss_fn = _setup()
+    base = float(jax.jit(loss_fn)(params, batch))
+    g_base = jax.jit(jax.grad(loss_fn))(params, batch)
+
+    tp_params = shard_params_tp(params, mesh2)
+    tp_batch = {k: shard_points(v, mesh2) for k, v in batch.items()}
+    sharded = float(jax.jit(loss_fn)(tp_params, tp_batch))
+    np.testing.assert_allclose(sharded, base, rtol=1e-6)
+    g_tp = jax.jit(jax.grad(loss_fn))(tp_params, tp_batch)
+    for (gw1, _), (gw2, _) in zip(g_base, g_tp):
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=2e-5, atol=1e-7)
+    # The width-16 hidden weights actually shard over the model axis.
+    w1_sharding = tp_params[0][0].sharding
+    assert "model" in str(w1_sharding.spec)
+
+
+def test_tp_train_step_runs_on_2d_mesh():
+    """One full jitted Adam step with TP+DP shardings executes and
+    keeps parameters on their TP placement."""
+    import optax
+    mesh2 = make_mesh_2d(4, 2)
+    params, batch, loss_fn = _setup()
+    tp_params = shard_params_tp(params, mesh2)
+    tp_batch = {k: shard_points(v, mesh2) for k, v in batch.items()}
+    opt = optax.adam(1e-3)
+    state = opt.init(tp_params)
+
+    @jax.jit
+    def step(p, s, b):
+        loss, g = jax.value_and_grad(loss_fn)(p, b)
+        upd, s = opt.update(g, s, p)
+        return optax.apply_updates(p, upd), s, loss
+
+    p2, state, loss = step(tp_params, state, tp_batch)
+    assert np.isfinite(float(loss))
+    for (w, _), (w0, _) in zip(p2, params):
+        assert w.shape == w0.shape
 
 
 def test_experiment_tpu_mesh_hp_matches_unsharded(mesh):
