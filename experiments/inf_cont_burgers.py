@@ -83,10 +83,21 @@ def run(hp=None, plot=False, save_path=None):
     if f_w is not None:
         batch["f_w"] = f_w
 
-    def loss_fn(p, b):
-        return burgers.loss_cont_inference(p, b["X_u"], b["u"], b["X_f"],
-                                           lb, ub, nu,
-                                           f_weights=b.get("f_w"))
+    if hp.get("fused_residual"):
+        # Fused Pallas forward+backward residual kernel (f32,
+        # single-chip): one VMEM pass per point tile, no HBM activation
+        # traffic — the throughput path for large N_f (SCALING.md).
+        if dtype != jnp.float32 or mesh is not None:
+            raise ValueError("fused_residual requires dtype=float32 and "
+                             "no tpu_mesh (the XLA path covers those)")
+        from pinn.ops.pallas_train import make_burgers_loss
+        loss_fn = make_burgers_loss(
+            lb, ub, nu, interpret=jax.default_backend() != "tpu")
+    else:
+        def loss_fn(p, b):
+            return burgers.loss_cont_inference(p, b["X_u"], b["u"],
+                                               b["X_f"], lb, ub, nu,
+                                               f_weights=b.get("f_w"))
 
     predict_u = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
     residual_f = jax.jit(lambda p, X: burgers.residual_cont(p, X, lb, ub, nu=nu))

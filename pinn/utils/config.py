@@ -51,6 +51,7 @@ KNOWN_KEYS = {
     "tf_net_dtype",
     "trace_dir", "init_checkpoint", "save_checkpoint", "seed",
     "tf_resample", "nt_resample", "model_description", "tpu_mesh",
+    "fused_residual",
 }
 
 

@@ -81,3 +81,19 @@ def test_fused_loss_trains():
         params, batch["X_u"], batch["u"], X_f,
         jnp.asarray(lb), jnp.asarray(ub), NU)
     np.testing.assert_allclose(float(val), float(want), rtol=1e-5)
+
+
+def test_experiment_fused_residual_hp_matches_xla_path():
+    """hp["fused_residual"] routes inf_cont_burgers through the fused
+    kernel with the same training outcome as the XLA loss."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments"))
+    import inf_cont_burgers
+
+    hp = {"N_u": 50, "N_f": 1000, "layers": [2, 20, 20, 1],
+          "tf_epochs": 20, "nt_epochs": 20, "log_frequency": 100}
+    base = inf_cont_burgers.run(dict(hp))
+    fused = inf_cont_burgers.run({**hp, "fused_residual": True})
+    np.testing.assert_allclose(fused["error"], base["error"], rtol=1e-3)
