@@ -66,3 +66,12 @@ def test_ide_disc_burgers_e2e():
     # initial lambdas give error ~0.61 (l1=0); must have
     # improved markedly
     assert err < 0.5, err
+
+
+def test_custom_pde_example_e2e():
+    """The extensibility example (new PDE on the public API) trains to
+    a tight budget — the heat equation is easy, so the bar is firm."""
+    import custom_pde_example
+    r = custom_pde_example.run(
+        {"tf_epochs": 100, "nt_epochs": 300, "log_frequency": 10 ** 6})
+    assert r["error"] < 2e-2, r["error"]
