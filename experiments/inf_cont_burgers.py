@@ -102,11 +102,28 @@ def run(hp=None, plot=False, save_path=None):
     predict_u = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
     residual_f = jax.jit(lambda p, X: burgers.residual_cont(p, X, lb, ub, nu=nu))
 
+    holder = {}  # filled with the live Trainer below (RAR needs params)
+
     def resample_fn(i):
         # Fresh LHS collocation draw (same sampler as prep, new stream);
         # data points stay fixed.  Active via hp tf_resample/nt_resample.
         rng = np.random.RandomState(hp.get("seed", 1234) + i)
-        X_f_new = data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng)
+        if hp.get("rar_pool"):
+            # Residual-based adaptive refinement: draw a large candidate
+            # pool, keep the half of N_f with the largest |residual|
+            # under the CURRENT iterate, fill the rest uniformly (pure
+            # top-k collapses coverage onto the shock line).
+            M = int(hp["rar_pool"])
+            cand = data.lb + (data.ub - data.lb) * lhs(2, M, rng)
+            f = np.abs(np.asarray(residual_f(
+                holder["trainer"].params, jnp.asarray(cand, dtype))))[:, 0]
+            k = hp["N_f"] // 2
+            top = np.argsort(-f)[:k]
+            rest = rng.choice(np.setdiff1d(np.arange(M), top),
+                              hp["N_f"] - k, replace=False)
+            X_f_new = cand[np.concatenate([top, rest])]
+        else:
+            X_f_new = data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng)
         b = dict(batch)
         if mesh is None:
             b["X_f"] = jnp.asarray(X_f_new, dtype)
@@ -117,6 +134,7 @@ def run(hp=None, plot=False, save_path=None):
     logger = Logger(hp)
     trainer = Trainer(loss_fn, net, batch, hp, logger, mesh=mesh,
                       resample_fn=resample_fn)
+    holder["trainer"] = trainer
 
     def error():
         u_pred = np.asarray(predict_u(trainer.params, X_star))
