@@ -26,8 +26,8 @@ def test_flagship_burgers_recipe_hits_headline_error():
         {"nt_vector_dtype": "float64", "log_frequency": 2000,
          "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
-         "log_frequency": 1000, "nt_line_search": "wolfe"},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+         "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]
     ckpt = None
     for i, stage in enumerate(stages):
