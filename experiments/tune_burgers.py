@@ -7,6 +7,14 @@ per probe.  Used to close the gap to the paper's ~6.7e-4 rel-L2
 (BASELINE.md) and to kill the seed lottery.
 
 Usage: python experiments/tune_burgers.py P1 P2 ...   (default: all)
+
+Measured (TPU v5e, seed 1234; full rows in RESULTS.md):
+  P1 (wolfe, no resample)        1.75e-3  — stage 1 stalls early
+  P2 (wolfe + resample, 3k ref)  1.27e-3
+  P5 (P2 + 10k f64 refinement)   5.93e-4  — the flagship recipe
+  P7 (P5 + resample in refine)   5.35e-3  — NEGATIVE: redraws in the
+     f64 stage keep resetting the quasi-Newton model; resample only
+     the mixed stage, refine on a fixed draw.
 """
 
 from __future__ import annotations
