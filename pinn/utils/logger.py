@@ -10,6 +10,11 @@ against reference runs.  The accuracy metric is injected as a closure
 (``set_error_fn``, reference utils/logger.py:35-36) and evaluated once
 at train end.
 
+Beyond the reference: ``hp["log_file"]`` additionally appends one JSON
+line per logged epoch (phase/epoch/elapsed/loss/extra) plus start/end
+records — machine-readable history for dashboards and regression
+tooling (the reference only prints).
+
 Jit-awareness: the trainer steps the optimizers in jitted
 ``log_frequency``-sized chunks and calls the logger from the host loop
 between chunks, so timing is honest wall-clock without host callbacks
@@ -40,6 +45,16 @@ class Logger:
         self.prev_time = self.start_time
         self.frequency = hp.get("log_frequency", 10)
         self.error_fn: Optional[Callable[[], float]] = None
+        self._log_path = hp.get("log_file")
+        if self._log_path:
+            self._jsonl({"event": "init", "hp": {
+                k: v for k, v in hp.items() if _json_safe(v)}})
+
+    def _jsonl(self, record: dict) -> None:
+        if self._log_path:
+            record.setdefault("t", round(time.time() - self.start_time, 3))
+            with open(self._log_path, "a") as fh:
+                fh.write(json.dumps(record) + "\n")
 
     def get_epoch_duration(self) -> str:
         now = time.time()
@@ -78,13 +93,26 @@ class Logger:
                 f"elapsed = {self.get_elapsed()} "
                 f"(+{self.get_epoch_duration()})  "
                 f"loss = {float(loss):.4e}  " + custom)
+            self._jsonl({"event": "epoch", "phase": name, "epoch": epoch,
+                         "loss": float(loss), "extra": custom or None})
 
     def log_train_opt(self, name: str) -> None:
         self._print(f"-- Starting {name} optimization --")
 
     def log_train_end(self, epoch: int, custom: str = "") -> None:
         self._print("==================")
+        error = self.get_error_u()
         self._print(
             f"Training finished (epoch {epoch}): "
             f"duration = {self.get_elapsed()}  "
-            f"error = {self.get_error_u():.4e}  " + custom)
+            f"error = {error:.4e}  " + custom)
+        self._jsonl({"event": "end", "epoch": epoch, "error": error,
+                     "extra": custom or None})
+
+
+def _json_safe(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False

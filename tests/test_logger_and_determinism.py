@@ -127,3 +127,25 @@ def test_log_frequency_not_multiple_of_chunk_cap():
     logged = [ln for ln in lines if ln.startswith("tf_epoch")]
     epochs = [int(ln.split("=")[1].split()[0]) for ln in logged]
     assert epochs == [0, 25, 50, 75], epochs
+
+
+def test_log_file_jsonl_history(tmp_path):
+    """hp["log_file"]: machine-readable JSONL training history
+    (init/epoch/end records) alongside the printed lines."""
+    import json as _json
+    from pinn.utils.logger import Logger
+
+    path = str(tmp_path / "hist.jsonl")
+    hp = {"log_frequency": 1, "log_file": path, "layers": [1, 4, 1]}
+    lg = Logger(hp, print_fn=lambda s: None)
+    lg.log_train_start()
+    lg.log_train_epoch(0, 1.5, "", False)
+    lg.log_train_epoch(1, 0.5, "l1=2", True)
+    lg.set_error_fn(lambda: 0.25)
+    lg.log_train_end(2, "")
+    recs = [_json.loads(line) for line in open(path)]
+    events = [r["event"] for r in recs]
+    assert events == ["init", "epoch", "epoch", "end"]
+    assert recs[1]["phase"] == "tf_epoch" and recs[1]["loss"] == 1.5
+    assert recs[2]["phase"] == "nt_epoch" and recs[2]["extra"] == "l1=2"
+    assert recs[3]["error"] == 0.25
