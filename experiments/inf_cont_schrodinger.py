@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pinn.data import schrodinger_inference
+from pinn.data import lhs, schrodinger_inference
 from pinn.models import mlp
 from pinn.problems import schrodinger
 from pinn.train import Trainer
@@ -103,8 +103,24 @@ def run(hp=None, plot=False, save_path=None):
                 f"mse_b = {float(t.mse_b):.4e}  "
                 f"mse_f = {float(t.mse_f):.4e}")
 
+    def resample_fn(i):
+        # Fresh LHS collocation draw (hp tf_resample/nt_resample);
+        # IC/BC stacks stay fixed.
+        rng = np.random.RandomState(hp.get("seed", 1234) + i)
+        X_f_new = data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng)
+        b = dict(batch)
+        if mesh is None:
+            b["X_f"] = jnp.asarray(X_f_new, dtype)
+        else:
+            from pinn.parallel import pad_points_with_weights
+            Xp, w = pad_points_with_weights(X_f_new, mesh.devices.size)
+            b["X_f"] = jnp.asarray(Xp, dtype)
+            b["f_w"] = jnp.asarray(w, dtype)
+        return b
+
     trainer = Trainer(loss_fn, net, batch, hp, logger,
-                      epoch_extra=epoch_extra, mesh=mesh)
+                      epoch_extra=epoch_extra, mesh=mesh,
+                      resample_fn=resample_fn)
 
     def error():
         H = np.asarray(predict_h(trainer.params, X_star))

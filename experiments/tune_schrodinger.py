@@ -1,0 +1,74 @@
+"""Recipe probes for continuous-Schrödinger accuracy.
+
+Round-1 flagship: 1.2270e-3 rel-L2 (beats the paper's ~1.97e-3) via
+mixed f32+f64vec (2000 Adam + 15000 L-BFGS armijo) then f64 refinement
+(6000).  These probes test whether the weak-Wolfe + resampling recipe
+that took Burgers to 5.9e-4 helps here too.
+
+Usage: python experiments/tune_schrodinger.py S1 ... [--seed=N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+from _common import setup  # noqa: F401
+
+import inf_cont_schrodinger as exp
+
+MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000,
+         "tf_lr": 1e-3, "tf_b1": 0.9, "tf_eps": None}
+
+PROBES = {
+    # flagship schedule, wolfe line search both stages
+    "S1": {"stages": [
+        {**MIXED, "tf_epochs": 2000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe"},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 6000,
+         "log_frequency": 2000, "nt_line_search": "wolfe"},
+    ]},
+    # + resampling in the mixed stage (the Burgers P5 pattern)
+    "S2": {"stages": [
+        {**MIXED, "tf_epochs": 2000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 6000,
+         "log_frequency": 2000, "nt_line_search": "wolfe"},
+    ]},
+}
+
+
+def run_probe(name: str, seed: int = 1234) -> dict:
+    stages = PROBES[name]["stages"]
+    t0 = time.time()
+    ckpt = None
+    for i, stage in enumerate(stages):
+        hp = dict(stage)
+        hp["seed"] = seed
+        if ckpt:
+            hp["init_checkpoint"] = ckpt
+        if i + 1 < len(stages):
+            fd, ckpt = tempfile.mkstemp(suffix=".npz")
+            os.close(fd)
+            hp["save_checkpoint"] = ckpt
+        result = exp.run(hp, plot=False)
+    return {"probe": name, "seed": seed, "error": result["error"],
+            "duration_s": round(time.time() - t0, 1)}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seeds = [int(a.split("=")[1]) for a in sys.argv[1:]
+             if a.startswith("--seed=")] or [1234]
+    names = [a for a in args if a in PROBES] or list(PROBES)
+    for name in names:
+        for seed in seeds:
+            row = run_probe(name, seed)
+            print("PROBE " + json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
