@@ -59,6 +59,11 @@ def run(hp=None, plot=False, save_path=None):
     X_star = jnp.asarray(data.X_star, dtype)
     nu = 0.01 / np.pi
 
+    # hp["init_seed"]: decouple the weight init from the data seed —
+    # multi-start drivers vary the init while keeping the train set
+    # fixed (the basin lottery is decided at init; see tune_burgers P8).
+    if hp.get("init_seed") is not None:
+        key = jax.random.PRNGKey(int(hp["init_seed"]))
     net = mlp.init_mlp(key, hp["layers"], dtype)
     net = maybe_load_params(hp, net)
 

@@ -61,6 +61,15 @@ PROBES = {
         {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
          "log_frequency": 1000},
     ]},
+    # P5 with 3-way multi-start on the mixed stage: the basin lottery
+    # is decided at init, so run the cheap stage from 3 inits (same
+    # train data), pick the champion by training loss, refine only it.
+    "P8": {"multi_start": 3, "stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+         "log_frequency": 2000, "nt_line_search": "wolfe"},
+    ]},
     # P2 with a long f64 refinement (the paper's L-BFGS ran ~50k iters)
     "P5": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
@@ -82,6 +91,7 @@ PROBES = {
 
 def run_probe(name: str, seed: int = 1234) -> dict:
     stages = PROBES[name]["stages"]
+    n_starts = PROBES[name].get("multi_start", 1)
     t0 = time.time()
     ckpt = None
     for i, stage in enumerate(stages):
@@ -93,6 +103,25 @@ def run_probe(name: str, seed: int = 1234) -> dict:
             fd, ckpt = tempfile.mkstemp(suffix=".npz")
             os.close(fd)
             hp["save_checkpoint"] = ckpt
+        if i == 0 and n_starts > 1:
+            # Multi-start: run the cheap first stage from n_starts
+            # inits (same train data — init_seed varies, seed fixed),
+            # keep the champion by TRAINING loss (never test error),
+            # refine only the champion in later stages.
+            best = None
+            for j in range(n_starts):
+                hp_j = dict(hp, init_seed=seed + 7919 * j)
+                fd, ck_j = tempfile.mkstemp(suffix=".npz")
+                os.close(fd)
+                hp_j["save_checkpoint"] = ck_j
+                r = exp.run(hp_j, plot=False)
+                train_loss = float(r["loss_fn"](r["params"], r["batch"]))
+                print(f"  start {j}: train loss {train_loss:.4e} "
+                      f"(error {r['error']:.4e})", flush=True)
+                if best is None or train_loss < best[0]:
+                    best = (train_loss, ck_j)
+            os.replace(best[1], ckpt)
+            continue
         result = exp.run(hp, plot=False)
     return {"probe": name, "seed": seed, "error": result["error"],
             "duration_s": round(time.time() - t0, 1)}
