@@ -136,6 +136,23 @@ def run(hp=None, plot=False, save_path=None):
             b["X_f"], b["f_w"] = pad_Xf(X_f_new)
         return b
 
+    if hp.get("rar_init") and hp.get("rar_pool") and mesh is None:
+        # One-shot RAR draw before training (refinement stages that
+        # warm-start from a checkpoint): place half of N_f on the
+        # highest-|residual| candidates of the CURRENT net — for
+        # Burgers that concentrates collocation on the shock line,
+        # which is where bad-basin error lives.
+        rng = np.random.RandomState(hp.get("seed", 1234) + 999)
+        M = int(hp["rar_pool"])
+        cand = data.lb + (data.ub - data.lb) * lhs(2, M, rng)
+        fvals = np.abs(np.asarray(residual_f(
+            net, jnp.asarray(cand, dtype))))[:, 0]
+        k = hp["N_f"] // 2
+        top = np.argsort(-fvals)[:k]
+        rest = rng.choice(np.setdiff1d(np.arange(M), top),
+                          hp["N_f"] - k, replace=False)
+        batch["X_f"] = jnp.asarray(cand[np.concatenate([top, rest])], dtype)
+
     logger = Logger(hp)
     trainer = Trainer(loss_fn, net, batch, hp, logger, mesh=mesh,
                       resample_fn=resample_fn)

@@ -70,6 +70,16 @@ PROBES = {
         {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]},
+    # P5 but the f64 refinement runs on a one-shot RAR draw (half the
+    # collocation budget on the current net's highest-residual points —
+    # the shock line), targeting the bad-basin generalization gap.
+    "P9": {"stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+         "log_frequency": 2000, "nt_line_search": "wolfe",
+         "rar_init": True, "rar_pool": 200000},
+    ]},
     # P2 with a long f64 refinement (the paper's L-BFGS ran ~50k iters)
     "P5": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,

@@ -51,7 +51,7 @@ KNOWN_KEYS = {
     "tf_net_dtype",
     "trace_dir", "init_checkpoint", "save_checkpoint", "seed",
     "tf_resample", "nt_resample", "model_description", "tpu_mesh",
-    "fused_residual", "rar_pool", "log_file", "init_seed",
+    "fused_residual", "rar_pool", "rar_init", "log_file", "init_seed",
 }
 
 
