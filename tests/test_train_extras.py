@@ -117,3 +117,50 @@ def test_load_burgers_npy_triple(tmp_path):
         np.testing.assert_array_equal(x2, x)
         np.testing.assert_array_equal(t2, t)
         np.testing.assert_array_equal(u2, usol)
+
+
+def _exp_module():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments"))
+    import inf_cont_burgers
+    return inf_cont_burgers
+
+
+def test_rar_resample_and_init_seed():
+    """hp rar_pool routes resamples through residual-ranked candidates;
+    init_seed decouples weight init from the data seed."""
+    m = _exp_module()
+    hp = {"N_u": 30, "N_f": 400, "layers": [2, 12, 1], "tf_epochs": 10,
+          "nt_epochs": 30, "nt_resample": 10, "rar_pool": 2000,
+          "log_frequency": 1000}
+    r = m.run(dict(hp))
+    assert np.isfinite(r["error"])
+    # Different init_seed, same data seed -> same train set, different
+    # trained weights.
+    r2 = m.run({**hp, "init_seed": 99})
+    np.testing.assert_array_equal(np.asarray(r["batch"]["X_u"]),
+                                  np.asarray(r2["batch"]["X_u"]))
+    w1 = np.asarray(r["params"][0][0])
+    w2 = np.asarray(r2["params"][0][0])
+    assert not np.allclose(w1, w2)
+
+
+def test_rar_init_draw_on_warm_start(tmp_path):
+    """rar_init redraws collocation from the checkpointed net's
+    residual before a warm-started refinement stage."""
+    m = _exp_module()
+    ck = str(tmp_path / "warm.npz")
+    base = {"N_u": 30, "N_f": 400, "layers": [2, 12, 1],
+            "log_frequency": 1000}
+    m.run({**base, "tf_epochs": 10, "nt_epochs": 10,
+           "save_checkpoint": ck})
+    r = m.run({**base, "tf_epochs": 0, "nt_epochs": 10,
+               "init_checkpoint": ck, "rar_init": True, "rar_pool": 2000})
+    assert np.isfinite(r["error"])
+    # The RAR draw must differ from the plain LHS draw.
+    r_plain = m.run({**base, "tf_epochs": 0, "nt_epochs": 10,
+                     "init_checkpoint": ck})
+    assert not np.array_equal(np.asarray(r["batch"]["X_f"]),
+                              np.asarray(r_plain["batch"]["X_f"]))
