@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Benchmark: flagship continuous-Burgers PINN training throughput.
 
-Prints ONE JSON line:
+Prints ONE JSON line (possibly re-printed, enriched, as extras finish —
+consumers should take the LAST JSON line):
     {"metric": "burgers_train_steps_per_sec", "value": N,
      "unit": "steps/s", "vs_baseline": N, ...extras}
 
@@ -14,17 +15,26 @@ accelerator.
 eager TensorFlow-2 float64 step with nested GradientTape residual
 derivatives on CPU (the reference runs fully eager; its @tf.function
 decorators are commented out, reference utils/neuralnetwork.py:50-54).
-The baseline is measured live when TF is importable, else a recorded
-constant from this machine is used (see BASELINE_FALLBACK).
+The baseline defaults to a recorded constant measured on this machine
+(BASELINE_RECORDED, from the round-1 driver run); it is re-measured
+live only if the time budget allows.
 
 Extras report L-BFGS iterations/sec and collocation-residual
 evaluations/sec/chip (the BASELINE.md north-star metric).
+
+Budget discipline (round-2 post-mortem: the driver run timed out before
+the single end-of-run print): the headline record is printed as soon as
+the primary measurement lands; every optional section (fused kernel,
+L-BFGS, live TF baseline) first checks remaining wall-clock budget and
+is skipped with a stderr note when it doesn't fit; a SIGALRM hard stop
+flushes the best record seen so far and exits 0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -33,18 +43,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 LAYERS = [2, 20, 20, 20, 20, 20, 20, 20, 20, 1]
 N_U, N_F = 100, 10000
 
-# Eager-TF2-CPU steps/s measured on this host (used if TF import fails).
-BASELINE_FALLBACK = 2.0
+# Eager-TF2-CPU steps/s measured live on this host by the round-1 driver
+# run (BENCH_r01.json). Used unless the budget allows a live re-measure.
+BASELINE_RECORDED = 2.425
+
+START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "400"))
+
+_latest_record = None
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_ours(smoke: bool = False):
+def remaining():
+    return BUDGET_S - (time.time() - START)
+
+
+def emit(record):
+    """Print the current best record. Re-printed as extras enrich it;
+    consumers take the last JSON line."""
+    global _latest_record
+    _latest_record = dict(record)
+    print(json.dumps(_latest_record), flush=True)
+
+
+def _alarm(signum, frame):  # pragma: no cover - timing-dependent
+    log(f"bench: hard budget hit at {time.time() - START:.0f}s; "
+        "flushing last record")
+    if _latest_record is not None:
+        print(json.dumps(_latest_record), flush=True)
+    sys.exit(0)
+
+
+def setup_jax():
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     try:
         # TPU-only cache (see experiments/_common.py note).
@@ -58,6 +92,18 @@ def measure_ours(smoke: bool = False):
     # Match the training configuration: full-f32 matmuls (see
     # experiments/_common.resolve_dtype).
     jax.config.update("jax_default_matmul_precision", "highest")
+    return jax
+
+
+def main():
+    smoke = "--smoke" in sys.argv
+    skip_tf = "--no-tf" in sys.argv
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(BUDGET_S) + 15)
+
+    jax = setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
 
     from pinn.models import mlp
     from pinn.problems import burgers
@@ -104,44 +150,92 @@ def measure_ours(smoke: bool = False):
         log(f"  {label} adam steps/s: {sps:.1f}")
         return sps
 
+    # --- Primary measurement: headline JSON goes out right after this.
     adam_sps = time_adam(loss_fn, "xla")
+    backend = jax.default_backend()
 
-    # The fused Pallas forward+backward residual kernel is a real
-    # training configuration (hp fused_residual); report whichever
-    # genuine path is faster as the headline.
+    record = {
+        "metric": "burgers_train_steps_per_sec",
+        "value": round(adam_sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(adam_sps / BASELINE_RECORDED, 2),
+        "backend": backend,
+        "xla_steps_per_sec": round(adam_sps, 2),
+        "residual_evals_per_sec_per_chip": round(adam_sps * n_f, 0),
+        "tf_eager_cpu_baseline_steps_per_sec": BASELINE_RECORDED,
+        "tf_baseline_source": "recorded",
+        "n_f": n_f,
+    }
+    emit(record)
+
+    # --- Optional: fused Pallas forward+backward training kernel. A
+    # real training configuration (hp fused_residual); the headline
+    # takes whichever genuine path is faster.
     fused_sps = None
-    if jax.default_backend() == "tpu":
+    if backend == "tpu" and remaining() > 60:
         try:
             from pinn.ops.pallas_train import make_burgers_loss
             fused_sps = time_adam(make_burgers_loss(lb_, ub_, nu), "fused")
         except Exception as e:  # pragma: no cover
             log(f"fused path unavailable: {type(e).__name__}: {e}")
-    best_sps = max(adam_sps, fused_sps or 0.0)
+    elif backend == "tpu":
+        log(f"skipping fused section ({remaining():.0f}s budget left)")
+    if fused_sps is not None:
+        best = max(adam_sps, fused_sps)
+        record.update({
+            "value": round(best, 2),
+            "vs_baseline": round(
+                best / record["tf_eager_cpu_baseline_steps_per_sec"], 2),
+            "fused_steps_per_sec": round(fused_sps, 2),
+            "residual_evals_per_sec_per_chip": round(best * n_f, 0),
+        })
+        emit(record)
 
-    # L-BFGS iterations/sec.
-    chunk = 10
-    reps = 5 if smoke else 50
-    flat, unravel = pcodec.ravel_with_unravel(params)
+    # --- Optional: L-BFGS iterations/sec.
+    if remaining() > 90:
+        chunk = 10
+        reps = 5 if smoke else 50
+        flat, unravel = pcodec.ravel_with_unravel(params)
 
-    def opfunc(w, b):
-        return jax.value_and_grad(lambda w_: loss_fn(unravel(w_), b))(w)
+        def opfunc(w, b):
+            return jax.value_and_grad(lambda w_: loss_fn(unravel(w_), b))(w)
 
-    config = lb.LbfgsConfig(learning_rate=0.8, max_iter=10 ** 6,
-                            n_correction=50)
-    state = lb.lbfgs_init(opfunc, flat, config, batch)
-    run = lb.make_lbfgs_run(opfunc, config)
-    log("compiling lbfgs chunk...")
-    state, _ = run(state, batch, chunk)
-    jax.block_until_ready(state.f)
-    t0 = time.time()
-    for _ in range(reps):
-        state, fh = run(state, batch, chunk)
-    jax.block_until_ready(state.f)
-    lbfgs_ips = reps * chunk / (time.time() - t0)
-    log(f"  lbfgs iters/s: {lbfgs_ips:.1f}")
+        config = lb.LbfgsConfig(learning_rate=0.8, max_iter=10 ** 6,
+                                n_correction=50)
+        state = lb.lbfgs_init(opfunc, flat, config, batch)
+        run = lb.make_lbfgs_run(opfunc, config)
+        log("compiling lbfgs chunk...")
+        t0 = time.time()
+        state, _ = run(state, batch, chunk)
+        jax.block_until_ready(state.f)
+        log(f"  compile+first chunk: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        for _ in range(reps):
+            state, fh = run(state, batch, chunk)
+        jax.block_until_ready(state.f)
+        lbfgs_ips = reps * chunk / (time.time() - t0)
+        log(f"  lbfgs iters/s: {lbfgs_ips:.1f}")
+        record["lbfgs_iters_per_sec"] = round(lbfgs_ips, 2)
+        emit(record)
+    else:
+        log(f"skipping lbfgs section ({remaining():.0f}s budget left)")
 
-    backend = jax.default_backend()
-    return best_sps, adam_sps, fused_sps, lbfgs_ips, n_f, backend
+    # --- Optional: live TF eager baseline re-measure (replaces the
+    # recorded constant when it fits the budget).
+    if not skip_tf and remaining() > 60:
+        tf_sps = measure_tf_baseline(n_f, steps=2 if smoke else 3)
+        if tf_sps is not None:
+            record.update({
+                "tf_eager_cpu_baseline_steps_per_sec": round(tf_sps, 3),
+                "tf_baseline_source": "live",
+                "vs_baseline": round(record["value"] / tf_sps, 2),
+            })
+            emit(record)
+    else:
+        log(f"skipping live TF baseline ({remaining():.0f}s budget left)")
+
+    signal.alarm(0)
+    log(f"bench done in {time.time() - START:.0f}s")
 
 
 def measure_tf_baseline(n_f: int, steps: int = 3):
@@ -152,7 +246,7 @@ def measure_tf_baseline(n_f: int, steps: int = 3):
         import tensorflow as tf
         import numpy as np
     except Exception as e:  # pragma: no cover
-        log(f"TF baseline unavailable ({e}); using fallback")
+        log(f"TF baseline unavailable ({e}); keeping recorded constant")
         return None
 
     tf.keras.backend.set_floatx("float64")
@@ -193,33 +287,6 @@ def measure_tf_baseline(n_f: int, steps: int = 3):
     sps = steps / (time.time() - t0)
     log(f"  tf eager baseline steps/s: {sps:.2f}")
     return sps
-
-
-def main():
-    smoke = "--smoke" in sys.argv
-    skip_tf = "--no-tf" in sys.argv
-    best_sps, adam_sps, fused_sps, lbfgs_ips, n_f, backend = \
-        measure_ours(smoke)
-
-    tf_sps = None if skip_tf else measure_tf_baseline(n_f, steps=2 if smoke else 3)
-    if tf_sps is None:
-        tf_sps = BASELINE_FALLBACK
-
-    out = {
-        "metric": "burgers_train_steps_per_sec",
-        "value": round(best_sps, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(best_sps / tf_sps, 2),
-        "backend": backend,
-        "xla_steps_per_sec": round(adam_sps, 2),
-        "lbfgs_iters_per_sec": round(lbfgs_ips, 2),
-        "residual_evals_per_sec_per_chip": round(best_sps * n_f, 0),
-        "tf_eager_cpu_baseline_steps_per_sec": round(tf_sps, 3),
-        "n_f": n_f,
-    }
-    if fused_sps is not None:
-        out["fused_steps_per_sec"] = round(fused_sps, 2)
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,11 @@ def run(hp=None, plot=False, save_path=None):
     validate(hp)
     dtype = resolve_dtype(hp)
 
+    if hp.get("rar_pool") and int(hp["rar_pool"]) < hp["N_f"]:
+        raise ValueError(
+            f"rar_pool ({hp['rar_pool']}) must be >= N_f ({hp['N_f']}): "
+            "the RAR draw keeps N_f points out of the candidate pool")
+
     data = burgers_cont_inference(hp["N_u"], hp["N_f"])
     lb = jnp.asarray(data.lb, dtype)
     ub = jnp.asarray(data.ub, dtype)

@@ -119,10 +119,12 @@ def run_probe(name: str, seed: int = 1234) -> dict:
             # keep the champion by TRAINING loss (never test error),
             # refine only the champion in later stages.
             best = None
+            start_ckpts = []
             for j in range(n_starts):
                 hp_j = dict(hp, init_seed=seed + 7919 * j)
                 fd, ck_j = tempfile.mkstemp(suffix=".npz")
                 os.close(fd)
+                start_ckpts.append(ck_j)
                 hp_j["save_checkpoint"] = ck_j
                 r = exp.run(hp_j, plot=False)
                 train_loss = float(r["loss_fn"](r["params"], r["batch"]))
@@ -131,8 +133,13 @@ def run_probe(name: str, seed: int = 1234) -> dict:
                 if best is None or train_loss < best[0]:
                     best = (train_loss, ck_j)
             os.replace(best[1], ckpt)
+            for ck_j in start_ckpts:  # losing starts: drop the tempfiles
+                if ck_j != best[1] and os.path.exists(ck_j):
+                    os.remove(ck_j)
             continue
         result = exp.run(hp, plot=False)
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)
     return {"probe": name, "seed": seed, "error": result["error"],
             "duration_s": round(time.time() - t0, 1)}
 

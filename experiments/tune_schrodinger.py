@@ -55,6 +55,8 @@ def run_probe(name: str, seed: int = 1234) -> dict:
             os.close(fd)
             hp["save_checkpoint"] = ckpt
         result = exp.run(hp, plot=False)
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)
     return {"probe": name, "seed": seed, "error": result["error"],
             "duration_s": round(time.time() - t0, 1)}
 

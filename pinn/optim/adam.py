@@ -48,7 +48,6 @@ class AdamRunner:
 
     def __init__(self, loss_fn: Callable[[Any, Any], jnp.ndarray], hp: dict):
         self.optimizer = adam_from_hp(hp)
-        self.loss_fn = loss_fn
 
         # hp["tf_net_dtype"] (e.g. "bfloat16"): evaluate the network/
         # residual in a lower precision during the Adam warmup while the
@@ -73,6 +72,10 @@ class AdamRunner:
             def loss_fn(p, b):  # noqa: F811 — deliberate wrap
                 master = jax.tree_util.tree_leaves(p)[0].dtype
                 return base(cast(p), cast(b)).astype(master)
+
+        # Assigned after the optional wrap so the attribute is the loss
+        # actually optimized (advisor round 2).
+        self.loss_fn = loss_fn
 
         @partial(jax.jit, static_argnums=3)
         def run(params, opt_state, batch, n_steps: int):
