@@ -60,6 +60,33 @@ class PhysicsInformedNN:
         """Additional arrays the loss needs (collocation points etc.)."""
         return {}
 
+    def wrap_training_variables(self, params):
+        """Extend the trainable set (reference neuralnetwork.py:61-63).
+
+        The reference hook returns the list of trainable tf.Variables so
+        identification subclasses can append their lambdas; here it
+        returns the trainable *pytree*.  Override to wrap the network
+        params with extra leaves, e.g.::
+
+            def wrap_training_variables(self, params):
+                return {"net": params, "lambda_1": jnp.zeros(())}
+
+        and unpack in ``loss`` (``self.apply(params["net"], ...)``).
+        When the tree is wrapped, also override :meth:`net_params` so
+        ``predict`` can find the MLP sub-tree.  Called once, at the
+        start of ``fit``; ``get_weights``/``set_weights`` operate on the
+        wrapped tree (dict keys flatten alphabetically — name extra
+        leaves after "net" to keep them at the flat vector's tail, the
+        reference's element order, ide_cont_burgers.py:98-107).
+        """
+        return params
+
+    def net_params(self, params):
+        """Extract the MLP sub-tree from the (possibly wrapped)
+        trainables; identity unless ``wrap_training_variables`` nests.
+        """
+        return params
+
     def epoch_extra(self, params) -> str:
         """Per-log-line suffix (identification subclasses print lambdas)."""
         return ""
@@ -78,6 +105,10 @@ class PhysicsInformedNN:
     def fit(self, X_u, u):
         batch = {"X_u": self.tensor(X_u), "u": self.tensor(u),
                  **self.extra_batch()}
+        if not getattr(self, "_wrapped", False):
+            self.params = self.wrap_training_variables(self.params)
+            self._unravel = pcodec.make_unravel(self.params)
+            self._wrapped = True
         # params_callback keeps self.params live during training so
         # error_fn closures (logger.set_error_fn) see the current
         # iterate, as in the reference where the Keras model mutates
@@ -91,7 +122,7 @@ class PhysicsInformedNN:
         return self.params
 
     def predict(self, X_star) -> np.ndarray:
-        return np.asarray(self._predict_jit(self.params,
+        return np.asarray(self._predict_jit(self.net_params(self.params),
                                             self.tensor(X_star)))
 
     def get_weights(self) -> jnp.ndarray:

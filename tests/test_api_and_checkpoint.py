@@ -101,3 +101,37 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     params2 = checkpoint.load_orbax(path, like=pinn.params)
     np.testing.assert_array_equal(np.asarray(pinn.params[0][0]),
                                   np.asarray(params2[0][0]))
+
+
+class AmplitudePINN(PhysicsInformedNN):
+    """Identification-style subclass using wrap_training_variables
+    (reference neuralnetwork.py:61-63): net + one discovered scalar."""
+
+    def wrap_training_variables(self, params):
+        return {"net": params, "p_lambda_1": jnp.zeros(())}
+
+    def net_params(self, params):
+        return params["net"]
+
+    def loss(self, params, batch):
+        u_pred = (1.0 + params["p_lambda_1"]) * self.apply(
+            params["net"], batch["X_u"])
+        return jnp.mean(jnp.square(batch["u"] - u_pred))
+
+
+def test_facade_wrap_training_variables_trains_extra_leaf():
+    X_u, u, _ = _toy_problem()
+    hp = dict(HP, tf_epochs=40, nt_epochs=20)
+    pinn = AmplitudePINN(hp, None, jnp.array([1.0, 1.0]),
+                         jnp.array([-1.0, -1.0]))
+    pinn.fit(X_u, 2.0 * u)  # target has doubled amplitude
+    # The extra leaf moved off its init and sits at the flat tail
+    # (dict keys flatten alphabetically: "net" < "p_lambda_1").
+    lam = float(pinn.params["p_lambda_1"])
+    assert abs(lam) > 1e-3
+    w = pinn.get_weights()
+    np.testing.assert_allclose(float(w[-1]), lam, rtol=1e-6)
+    pinn.set_weights(np.asarray(w))  # roundtrip through the wrapped codec
+    np.testing.assert_allclose(float(pinn.params["p_lambda_1"]), lam,
+                               rtol=1e-6)
+    assert pinn.predict(X_u).shape == u.shape

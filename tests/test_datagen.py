@@ -87,3 +87,31 @@ def test_nls_conserves_mass_and_matches_ic():
     # round-off by construction.
     norms = np.linalg.norm(uu, axis=0)
     np.testing.assert_allclose(norms, norms[0], rtol=1e-10)
+
+
+def test_sympy_generator_matches_image_summed_solver():
+    # The symbolic (sympy-derived) generator with auto image coverage
+    # must agree with the independent image-summed closed form on the
+    # reference's sampling grid (x in [-1,1], t in [0,1], nu=0.01/pi —
+    # reference datagen/1d-burgers/datagen.py:22-29).
+    from burgers_sympy import sample_grid
+    nu = 0.01 / np.pi
+    x, t, u = sample_grid(nu=nu, nx=48, nt=25)
+    ref = burgers_viscous_periodic_exact(nu, x, t)
+    assert np.isfinite(u).all()
+    np.testing.assert_allclose(u, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_sympy_generator_two_image_reference_contract():
+    # n_images=2 reproduces the reference's hard-coded phi (two
+    # Gaussians at 4t and 4t + 2pi): exact agreement at early times,
+    # and the documented breakdown (NaN from 0/0 underflow) once the
+    # front x - 4t has moved past the retained images.
+    from burgers_sympy import sample_grid
+    nu = 0.01 / np.pi
+    x, t, u2 = sample_grid(nu=nu, nx=32, nt=25, n_images=2)
+    _, _, u_auto = sample_grid(nu=nu, nx=32, nt=25)
+    early = t <= 0.4  # front stays within one period of the window
+    np.testing.assert_allclose(u2[:, early], u_auto[:, early],
+                               rtol=1e-10, atol=1e-10)
+    assert not np.isfinite(u2[:, t > 0.9]).all()
