@@ -59,6 +59,19 @@ CAMPAIGN = {
 
 QUICK_OVERRIDES = {"tf_epochs": 50, "nt_epochs": 200, "log_frequency": 50}
 
+# Accuracy budgets ≈ 1.5x the recorded RESULTS.md headline rows (TPU
+# campaign recipes above).  Single source of truth for both
+# ``--verify`` and the slow-tier regression (tests/test_accuracy_slow).
+# ide_* budgets are on the mean relative lambda error, the experiments'
+# error metric (reference ide_cont_burgers.py:187-192).
+BUDGETS = {
+    "inf_cont_burgers": 8e-4,       # headline 5.93e-4 (P5 recipe)
+    "inf_cont_schrodinger": 2e-3,   # headline 1.227e-3
+    "inf_disc_burgers": 1.6e-3,     # headline 1.06e-3
+    "ide_cont_burgers": 6e-3,       # headline 3.79e-3
+    "ide_disc_burgers": 1.6e-3,     # headline 1.06e-3
+}
+
 
 def run_one(name: str, quick: bool, f32: bool) -> dict:
     import tempfile
@@ -82,6 +95,8 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
             hp["save_checkpoint"] = ckpt
         executed.append(hp)
         result = mod.run(hp, plot=False)
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)
     dur = time.time() - t0
     dtype_desc = "+".join(
         h.get("dtype", "f32" + ("/f64vec" if h.get("nt_vector_dtype")
@@ -121,18 +136,33 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     quick = "--quick" in sys.argv
     f32 = "--f32" in sys.argv
+    verify = "--verify" in sys.argv
     names = args or list(CAMPAIGN)
-    rows = []
+    rows, failures = [], []
     for name in names:
         print(f"=== {name} ===", flush=True)
         try:
             row = run_one(name, quick, f32)
         except Exception as e:  # keep the campaign going
             print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
+            failures.append(name)
             continue
         print(json.dumps(row), flush=True)
         rows.append(row)
-    append_results(rows)
+        if verify:
+            budget = BUDGETS[name]
+            ok = row["error"] <= budget
+            print(f"VERIFY {'OK' if ok else 'REGRESSED'} {name}: "
+                  f"{row['error']:.4e} vs budget {budget:.1e}", flush=True)
+            if not ok:
+                failures.append(name)
+    if not quick:  # smoke configs don't belong in the results table
+        append_results(rows)
+    if verify:
+        print(f"VERIFY {'PASSED' if not failures else 'FAILED'}"
+              + (f" ({', '.join(failures)})" if failures else ""),
+              flush=True)
+        sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":

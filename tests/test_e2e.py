@@ -1,7 +1,9 @@
 """End-to-end experiment regressions (SURVEY.md §4(d)): each experiment
-trains briefly on CPU and must hit a loose accuracy/descent budget.
-Budgets are ~2x worse than observed values so they catch real breakage
-without being flaky."""
+trains briefly on CPU and must hit an accuracy budget of <=2x the
+observed short-schedule value (recorded in each assert) — tight enough
+to catch accuracy drift, not just crashes (VERDICT round-2 item #9).
+Training is seed-deterministic on the CPU backend, so the margin covers
+code-change-induced drift, not run-to-run noise."""
 
 import os
 import sys
@@ -19,7 +21,7 @@ def test_inf_cont_burgers_e2e():
         {"N_u": 80, "N_f": 2000, "layers": [2, 20, 20, 20, 1],
          "tf_epochs": 200, "nt_epochs": 300, "log_frequency": 1000},
         plot=False)
-    assert r["error"] < 0.5, r["error"]
+    assert r["error"] < 0.45, r["error"]  # observed 0.385
     assert np.isfinite(r["f_pred"]).all()
 
 
@@ -28,7 +30,7 @@ def test_inf_disc_burgers_e2e():
     r = inf_disc_burgers.run(
         {"q": 50, "layers": [1, 50, 50, 50, 51], "tf_epochs": 200,
          "nt_epochs": 150, "log_frequency": 1000}, plot=False)
-    assert r["error"] < 0.25, r["error"]
+    assert r["error"] < 0.16, r["error"]  # observed 0.078
 
 
 def test_ide_cont_burgers_e2e():
@@ -40,9 +42,10 @@ def test_ide_cont_burgers_e2e():
     params, *_ = ide_cont_burgers.train_once(
         hp, np.float32, noise=0.0, logger=logger)
     l1, l2 = ide_cont_burgers.get_lambdas(params)
-    # After a short run lambda1 must be moving decisively toward 1.
-    assert 0.5 < l1 < 1.5, l1
-    assert 1e-4 < l2 < 3e-2, l2
+    # After a short run lambda1 must be moving decisively toward 1
+    # and exp(lambda2) toward nu=0.0032 (observed 0.937, 0.0049).
+    assert 0.8 < l1 < 1.2, l1
+    assert 2e-3 < l2 < 1e-2, l2
 
 
 def test_inf_cont_schrodinger_e2e():
@@ -51,7 +54,7 @@ def test_inf_cont_schrodinger_e2e():
         {"N_0": 40, "N_b": 40, "N_f": 2000, "layers": [2, 40, 40, 2],
          "tf_epochs": 150, "tf_lr": 0.01, "tf_b1": 0.9, "tf_eps": None,
          "nt_epochs": 150, "log_frequency": 10 ** 6}, plot=False)
-    assert r["error"] < 0.6, r["error"]
+    assert r["error"] < 0.5, r["error"]  # observed 0.391
 
 
 def test_ide_disc_burgers_e2e():
@@ -63,9 +66,9 @@ def test_ide_disc_burgers_e2e():
     params, *_ = ide_disc_burgers.train_once(
         hp, np.float64, noise=0.0, logger=logger)
     err = ide_disc_burgers.lambda_error(params)
-    # initial lambdas give error ~0.61 (l1=0); must have
-    # improved markedly
-    assert err < 0.5, err
+    # initial lambdas give error ~0.61 (l1=0); observed 0.386 after
+    # this schedule
+    assert err < 0.45, err
 
 
 def test_custom_pde_example_e2e():
@@ -74,4 +77,4 @@ def test_custom_pde_example_e2e():
     import custom_pde_example
     r = custom_pde_example.run(
         {"tf_epochs": 100, "nt_epochs": 300, "log_frequency": 10 ** 6})
-    assert r["error"] < 2e-2, r["error"]
+    assert r["error"] < 7e-3, r["error"]  # observed 0.0035
