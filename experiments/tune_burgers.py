@@ -70,6 +70,18 @@ PROBES = {
         {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]},
+    # P5 + wide multi-start with a cheap screen, champion by HELD-OUT
+    # validation residual (fresh LHS draw; P8 showed train-loss picks
+    # the bad basin and a 3-start pool can be all-bad — widen to 6 and
+    # select on generalization, VERDICT round-2 item #2).
+    "P10": {"multi_start": 6, "champion": "val_residual",
+            "screen": {"nt_epochs": 2500, "log_frequency": 1000},
+            "stages": [
+                {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+                 "nt_line_search": "wolfe", "nt_resample": 1000},
+                {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+                 "log_frequency": 2000, "nt_line_search": "wolfe"},
+            ]},
     # P5 but the f64 refinement runs on a one-shot RAR draw (half the
     # collocation budget on the current net's highest-residual points —
     # the shock line), targeting the bad-basin generalization gap.
@@ -99,47 +111,98 @@ PROBES = {
 }
 
 
+def val_metric(r) -> float:
+    """Held-out selection metric: mean squared PDE residual on a fresh
+    LHS collocation draw (never the training draw — converged runs
+    overfit their own draw, which is why train-loss champion selection
+    picks bad basins, P8 post-mortem) plus the data-term MSE.  Uses NO
+    test data."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pinn.data import lhs as lhs_fn
+    from pinn.problems import burgers as bprob
+
+    data = r["data"]
+    dtype = r["batch"]["X_f"].dtype
+    rng = np.random.RandomState(97531)
+    X_val = data.lb + (data.ub - data.lb) * lhs_fn(2, 20000, rng)
+    lb_ = jnp.asarray(data.lb, dtype)
+    ub_ = jnp.asarray(data.ub, dtype)
+    f = bprob.residual_cont(r["params"], jnp.asarray(X_val, dtype),
+                            lb_, ub_, nu=0.01 / np.pi)
+    u_pred = r["predict_u"](r["params"], jnp.asarray(data.X_u_train, dtype))
+    mse_u = float(jnp.mean(jnp.square(
+        jnp.asarray(data.u_train, dtype) - u_pred)))
+    return float(jnp.mean(jnp.square(f))) + mse_u
+
+
 def run_probe(name: str, seed: int = 1234) -> dict:
-    stages = PROBES[name]["stages"]
-    n_starts = PROBES[name].get("multi_start", 1)
+    spec = PROBES[name]
+    stages = spec["stages"]
+    n_starts = spec.get("multi_start", 1)
+    screen = spec.get("screen")
+    champion = spec.get("champion", "train_loss")
     t0 = time.time()
     ckpt = None
+
+    def run_starts(hp, metric_name):
+        """Run the first stage from n_starts inits (same train data —
+        init_seed varies, seed fixed), return the champion checkpoint.
+        Selection by training loss or held-out val_metric; test error is
+        printed for diagnosis only, never used."""
+        best = None
+        start_ckpts = []
+        for j in range(n_starts):
+            hp_j = dict(hp, init_seed=seed + 7919 * j)
+            fd, ck_j = tempfile.mkstemp(suffix=".npz")
+            os.close(fd)
+            start_ckpts.append(ck_j)
+            hp_j["save_checkpoint"] = ck_j
+            r = exp.run(hp_j, plot=False)
+            if metric_name == "val_residual":
+                m = val_metric(r)
+            else:
+                m = float(r["loss_fn"](r["params"], r["batch"]))
+            print(f"  start {j}: {metric_name} {m:.4e} "
+                  f"(error {r['error']:.4e})", flush=True)
+            if best is None or m < best[0]:
+                best = (m, ck_j)
+        for ck_j in start_ckpts:  # losing starts: drop the tempfiles
+            if ck_j != best[1] and os.path.exists(ck_j):
+                os.remove(ck_j)
+        return best[1]
+
+    screen_ckpt = None
+    if screen is not None and n_starts > 1:
+        # Cheap screening pass: short schedule per start, champion by
+        # held-out metric, then the full recipe continues from the
+        # champion's screen state (Adam warmup already done).
+        hp_s = dict(stages[0], seed=seed, **screen)
+        winner = run_starts(hp_s, champion)
+        fd, screen_ckpt = tempfile.mkstemp(suffix=".npz")
+        os.close(fd)
+        os.replace(winner, screen_ckpt)
+
     for i, stage in enumerate(stages):
         hp = dict(stage)
         hp["seed"] = seed
-        if ckpt:
+        if i == 0 and screen_ckpt is not None:
+            hp["init_checkpoint"] = screen_ckpt
+            hp["tf_epochs"] = 0  # screen already ran the Adam warmup
+        elif ckpt:
             hp["init_checkpoint"] = ckpt
         if i + 1 < len(stages):
             fd, ckpt = tempfile.mkstemp(suffix=".npz")
             os.close(fd)
             hp["save_checkpoint"] = ckpt
-        if i == 0 and n_starts > 1:
-            # Multi-start: run the cheap first stage from n_starts
-            # inits (same train data — init_seed varies, seed fixed),
-            # keep the champion by TRAINING loss (never test error),
-            # refine only the champion in later stages.
-            best = None
-            start_ckpts = []
-            for j in range(n_starts):
-                hp_j = dict(hp, init_seed=seed + 7919 * j)
-                fd, ck_j = tempfile.mkstemp(suffix=".npz")
-                os.close(fd)
-                start_ckpts.append(ck_j)
-                hp_j["save_checkpoint"] = ck_j
-                r = exp.run(hp_j, plot=False)
-                train_loss = float(r["loss_fn"](r["params"], r["batch"]))
-                print(f"  start {j}: train loss {train_loss:.4e} "
-                      f"(error {r['error']:.4e})", flush=True)
-                if best is None or train_loss < best[0]:
-                    best = (train_loss, ck_j)
-            os.replace(best[1], ckpt)
-            for ck_j in start_ckpts:  # losing starts: drop the tempfiles
-                if ck_j != best[1] and os.path.exists(ck_j):
-                    os.remove(ck_j)
+        if i == 0 and n_starts > 1 and screen_ckpt is None:
+            winner = run_starts(hp, champion)
+            os.replace(winner, ckpt)
             continue
         result = exp.run(hp, plot=False)
-    if ckpt and os.path.exists(ckpt):
-        os.remove(ckpt)
+    for c in (ckpt, screen_ckpt):
+        if c and os.path.exists(c):
+            os.remove(c)
     return {"probe": name, "seed": seed, "error": result["error"],
             "duration_s": round(time.time() - t0, 1)}
 
