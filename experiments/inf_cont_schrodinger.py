@@ -84,9 +84,22 @@ def run(hp=None, plot=False, save_path=None):
     net = mlp.init_mlp(key, hp["layers"], dtype)
     net = maybe_load_params(hp, net)
 
-    def loss_fn(p, b):
-        return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"], b["X_ub"],
-                                b["X_f"], lb, ub, f_weights=b.get("f_w"))
+    if hp.get("fused_residual"):
+        # Fused Pallas forward+backward residual kernel (f32,
+        # single-chip): one launch per step covers the N_f residual
+        # term; IC/BC terms stay XLA (SCALING.md).
+        if dtype != jnp.float32 or mesh is not None:
+            raise ValueError("fused_residual requires dtype=float32 and "
+                             "no tpu_mesh (the XLA path covers those)")
+        from pinn.ops.pallas_schrodinger import make_schrodinger_loss
+        loss_fn = make_schrodinger_loss(
+            np.asarray(data.lb), np.asarray(data.ub),
+            interpret=jax.default_backend() != "tpu")
+    else:
+        def loss_fn(p, b):
+            return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"],
+                                    b["X_ub"], b["X_f"], lb, ub,
+                                    f_weights=b.get("f_w"))
 
     terms_fn = jax.jit(lambda p, b: schrodinger.loss_terms(
         p, b["X0"], b["H0"], b["X_lb"], b["X_ub"], b["X_f"], lb, ub,

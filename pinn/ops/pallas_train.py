@@ -388,23 +388,300 @@ def make_burgers_sse(lb, ub, nu: float, interpret: bool = False):
     return sse
 
 
+# ---------------------------------------------------------------------------
+# Combined train kernel: data term folded into the point stream, loss +
+# parameter gradients in ONE kernel launch (VERDICT round-2 item #3).
+#
+# The v1 loss above launches three programs per training step: the
+# forward sse kernel (primal), the fwd+bwd kernel (VJP — recomputing the
+# whole forward), and a separate XLA program for the N_u data-MSE term.
+# At the flagship N_f=1e4 those dispatch+recompute overheads cost more
+# than the fusion saves.  Here every point — data and collocation —
+# rides one stream with three per-point auxiliary rows
+#
+#     target_i : u_i for data points, 0 otherwise
+#     w_i      : loss weight (1/N_u data, 1/N_f collocation, 0 padding)
+#     d_i      : 1.0 for data points, 0.0 for collocation
+#
+# and the pointwise misfit is f_i = d_i (u_i - target_i)
+#                                 + (1-d_i)(u_t + u u_x - nu u_xx)_i,
+# loss = sum_i w_i f_i^2  ==  mse_u + mse_f exactly.  The kernel
+# accumulates the loss AND all parameter gradients in a single pass;
+# the custom_vjp forward stashes the gradients as residuals so the
+# backward is just a scalar rescale — one pallas launch per step.
+# ---------------------------------------------------------------------------
+
+
+def _make_train_kernel(n_hidden: int, nu: float, T: int):
+    n_layers = n_hidden + 1
+
+    def kernel(x_ref, aux_ref, z1row_ref, z2row_ref, *refs):
+        wref = refs[:2 * n_layers]
+        loss_ref = refs[2 * n_layers]
+        gw_refs = refs[2 * n_layers + 1: 4 * n_layers + 1]
+        gz1row_ref = refs[4 * n_layers + 1]
+        gz2row_ref = refs[4 * n_layers + 2]
+        saved = refs[4 * n_layers + 3:]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            loss_ref[0, 0] = 0.0
+            for r in gw_refs:
+                r[:] = jnp.zeros_like(r)
+            gz1row_ref[:] = jnp.zeros_like(gz1row_ref)
+            gz2row_ref[:] = jnp.zeros_like(gz2row_ref)
+
+        a0 = x_ref[:]                       # (din, T)
+        target = aux_ref[0:1, :]            # (1, T)
+        w = aux_ref[1:2, :]
+        d = aux_ref[2:3, :]
+
+        a_cat, t, z1, z11, z2 = _layer_fwd(
+            wref[0][:], wref[1][:], a0, T,
+            first=True, z1row=z1row_ref[:], z2row=z2row_ref[:])
+        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+        for l in range(1, n_hidden):
+            a_cat, t, z1, z11, z2 = _layer_fwd(
+                wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
+            saved[l][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+
+        wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+        U = jnp.dot(wt_out, a_cat, preferred_element_type=jnp.float32)
+        u = U[:, 0 * T:1 * T] + b_out
+        u_x = U[:, 1 * T:2 * T]
+        u_xx = U[:, 2 * T:3 * T]
+        u_t = U[:, 3 * T:4 * T]
+
+        # ---- pointwise misfit: data residual OR PDE residual ----
+        e = 1.0 - d
+        f = d * (u - target) + e * (u_t + u * u_x - nu * u_xx)
+        loss_ref[0, 0] += jnp.sum(w * f * f)
+
+        g_f = 2.0 * w * f
+        gU = jnp.concatenate(
+            [g_f * (d + e * u_x), g_f * e * u, -nu * g_f * e, g_f * e],
+            axis=1)                         # (1, 4T)
+
+        gw_refs[2 * n_hidden][:] += jnp.dot(
+            gU, a_cat.T, preferred_element_type=jnp.float32)
+        gw_refs[2 * n_hidden + 1][:] += jnp.sum(
+            gU[:, 0:T], axis=1, keepdims=True)
+        g_cat = jnp.dot(wt_out.T, gU, preferred_element_type=jnp.float32)
+
+        for l in range(n_hidden - 1, 0, -1):
+            S = saved[l][:]
+            t = S[:, 0 * T:1 * T]
+            z1 = S[:, 1 * T:2 * T]
+            z11 = S[:, 2 * T:3 * T]
+            z2 = S[:, 3 * T:4 * T]
+            gZ_cat, g_cat = _layer_bwd(wref[2 * l][:], t, z1, z11, z2,
+                                       g_cat, T)
+            Sp = saved[l - 1][:]
+            tp = Sp[:, 0 * T:1 * T]
+            z1p = Sp[:, 1 * T:2 * T]
+            z11p = Sp[:, 2 * T:3 * T]
+            z2p = Sp[:, 3 * T:4 * T]
+            spp_ = 1.0 - tp * tp
+            sppp = -2.0 * tp * spp_
+            a_in = jnp.concatenate(
+                [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
+                 spp_ * z2p], axis=1)
+            gw_refs[2 * l][:] += jnp.dot(
+                gZ_cat, a_in.T, preferred_element_type=jnp.float32)
+            gw_refs[2 * l + 1][:] += jnp.sum(
+                gZ_cat[:, 0:T], axis=1, keepdims=True)
+
+        S = saved[0][:]
+        t = S[:, 0 * T:1 * T]
+        z1 = S[:, 1 * T:2 * T]
+        z11 = S[:, 2 * T:3 * T]
+        z2 = S[:, 3 * T:4 * T]
+        gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T)
+        gz_v = gZ_cat[:, 0:T]
+        gw_refs[0][:] += jnp.dot(gz_v, a0.T,
+                                 preferred_element_type=jnp.float32)
+        gw_refs[1][:] += jnp.sum(gz_v, axis=1, keepdims=True)
+        gz1row_ref[:] += jnp.sum(gZ_cat[:, T:2 * T], axis=1, keepdims=True)
+        gz2row_ref[:] += jnp.sum(gZ_cat[:, 3 * T:4 * T], axis=1,
+                                 keepdims=True)
+
+    return kernel
+
+
+def _fwd_train_kernel(n_hidden: int, nu: float, T: int,
+                      x_ref, aux_ref, z1row_ref, z2row_ref, *refs):
+    """Loss-only variant of the combined kernel (pure evaluations —
+    logger lines, line-search probes outside value_and_grad)."""
+    wref = refs[:-1]
+    loss_ref = refs[-1]
+    i = pl.program_id(0)
+
+    a0 = x_ref[:]
+    target = aux_ref[0:1, :]
+    w = aux_ref[1:2, :]
+    d = aux_ref[2:3, :]
+
+    a_cat, *_ = _layer_fwd(wref[0][:], wref[1][:], a0, T,
+                           first=True, z1row=z1row_ref[:],
+                           z2row=z2row_ref[:])
+    for l in range(1, n_hidden):
+        a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
+
+    wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+    U = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
+    u = U[:, 0 * T:1 * T] + b
+    u_x = U[:, 1 * T:2 * T]
+    u_xx = U[:, 2 * T:3 * T]
+    u_t = U[:, 3 * T:4 * T]
+
+    e = 1.0 - d
+    f = d * (u - target) + e * (u_t + u * u_x - nu * u_xx)
+
+    @pl.when(i == 0)
+    def _():
+        loss_ref[0, 0] = 0.0
+
+    loss_ref[0, 0] += jnp.sum(w * f * f)
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+def _train_loss_call(wt_args, a0p, auxp, z1row, z2row, nu,
+                     interpret=False):
+    n_total = a0p.shape[1]
+    n_layers = len(wt_args) // 2
+    kernel = functools.partial(_fwd_train_kernel, n_layers - 1, nu, TILE)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), a0p.dtype),
+        interpret=interpret,
+    )(a0p, auxp, z1row, z2row, *wt_args)
+    return out[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
+                          interpret=False):
+    n_total = a0p.shape[1]
+    n_layers = len(wt_args) // 2
+    n_hidden = n_layers - 1
+    kernel = _make_train_kernel(n_hidden, nu, TILE)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), a0p.dtype)]
+    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    for wt in wt_args:
+        out_shapes.append(jax.ShapeDtypeStruct(wt.shape, wt.dtype))
+        out_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for zrow in (z1row, z2row):
+        out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, zrow.dtype))
+        out_specs.append(pl.BlockSpec(zrow.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), a0p.dtype)
+               for l in range(n_hidden)]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(a0p, auxp, z1row, z2row, *wt_args)
+    loss = outs[0][0, 0]
+    gwt = outs[1:1 + len(wt_args)]
+    gz1row, gz2row = outs[-2], outs[-1]
+    return loss, gwt, gz1row, gz2row
+
+
 def make_burgers_loss(lb, ub, nu: float, interpret: bool = False):
-    """Full reference loss with the fused kernel on the residual term:
-    ``loss(params, batch) = mse(u - u_pred) + sse_f / N_f``.
+    """Full reference loss, fully fused: ``loss(params, batch) =
+    mse(u - u_pred) + mse(u_t + u u_x - nu u_xx)`` with data AND
+    collocation points in one kernel stream, loss + parameter gradients
+    in a single pallas launch per training step (the custom_vjp forward
+    computes gradients alongside the loss and the backward is a scalar
+    rescale).
 
     Drop-in for ``pinn.problems.burgers.loss_cont_inference`` on the
-    f32 TPU path; differentiable (custom VJP) and jit/scan-safe.
+    f32 TPU path; differentiable and jit/scan-safe.
     """
-    from pinn.models import mlp
+    nu = float(nu)
+    lb_arr = np.asarray(lb, np.float32)
+    ub_arr = np.asarray(ub, np.float32)
 
-    sse = make_burgers_sse(lb, ub, nu, interpret=interpret)
-    lb_j = jnp.asarray(lb, jnp.float32)
-    ub_j = jnp.asarray(ub, jnp.float32)
+    def _prep_all(params, batch):
+        X_u, u, X_f = batch["X_u"], batch["u"], batch["X_f"]
+        n_u, n_f = X_u.shape[0], X_f.shape[0]
+        dtype = X_f.dtype
+        X = jnp.concatenate([X_u, X_f], axis=0)
+        target = jnp.concatenate(
+            [u[:, 0], jnp.zeros((n_f,), dtype)])
+        w = jnp.concatenate(
+            [jnp.full((n_u,), 1.0 / n_u, dtype),
+             jnp.full((n_f,), 1.0 / n_f, dtype)])
+        d = jnp.concatenate(
+            [jnp.ones((n_u,), dtype), jnp.zeros((n_f,), dtype)])
+        aux = jnp.stack([target, w, d])                  # (3, N)
+        a0, z1row, z2row, wt_args, vx, vt = _prep(params, X, lb_arr,
+                                                  ub_arr, dtype)
+        n = X.shape[0]
+        a0p, n_tot = _pad_points(a0, n, TILE)
+        if n_tot != n:  # padding: w=0 kills both loss and grads
+            aux = jnp.pad(aux, ((0, 0), (0, n_tot - n)))
+        return a0p, aux, z1row, z2row, wt_args, vx, vt
 
+    def _assemble_grads(params, gwt, gz1row, gz2row, vx, vt, g):
+        grads = []
+        for l, (wl, bl) in enumerate(params):
+            gw = gwt[2 * l].T
+            gb = gwt[2 * l + 1][:, 0] if bl.ndim == 1 else gwt[2 * l + 1]
+            if l == 0:
+                gw = gw + jnp.outer(vx, gz1row[:, 0]) \
+                        + jnp.outer(vt, gz2row[:, 0])
+            grads.append((g * gw, g * gb))
+        return tuple(grads)
+
+    @jax.custom_vjp
     def loss(params, batch):
-        u_pred = mlp.apply(params, batch["X_u"], lb_j, ub_j)
-        mse_u = jnp.mean(jnp.square(batch["u"] - u_pred))
-        n_f = batch["X_f"].shape[0]
-        return mse_u + sse(params, batch["X_f"]) / n_f
+        a0p, aux, z1row, z2row, wt_args, _, _ = _prep_all(params, batch)
+        return _train_loss_call(tuple(wt_args), a0p, aux, z1row, z2row,
+                                nu, interpret=interpret)
 
+    def loss_fwd(params, batch):
+        a0p, aux, z1row, z2row, wt_args, vx, vt = _prep_all(params, batch)
+        val, gwt, gz1row, gz2row = _train_loss_grad_call(
+            tuple(wt_args), a0p, aux, z1row, z2row, nu,
+            interpret=interpret)
+        return val, (params, batch, gwt, gz1row, gz2row, vx, vt)
+
+    def loss_bwd(res, g):
+        params, batch, gwt, gz1row, gz2row, vx, vt = res
+        grads = _assemble_grads(params, gwt, gz1row, gz2row, vx, vt, g)
+        zero_batch = jax.tree_util.tree_map(jnp.zeros_like, batch)
+        return grads, zero_batch
+
+    loss.defvjp(loss_fwd, loss_bwd)
     return loss

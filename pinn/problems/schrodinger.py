@@ -60,15 +60,12 @@ class SchrodingerLossTerms(NamedTuple):
         return self.mse_0 + self.mse_b + self.mse_f
 
 
-def loss_terms(net_params, X0, H0, X_lb, X_ub, X_f, lb, ub,
-               f_weights: Optional[jnp.ndarray] = None) -> SchrodingerLossTerms:
-    """The three loss terms; the reference prints them every step
-    (inf_cont_schrodinger.py:128), so they are exposed separately.
-
-    X0: (N_0, 2) initial points (x0, 0); H0: (N_0, 2) their (u, v).
-    X_lb/X_ub: (N_b, 2) boundary points at x=lb/x=ub, shared times.
-    """
-    dt_ = X_f.dtype
+def ic_bc_terms(net_params, X0, H0, X_lb, X_ub, lb, ub):
+    """(mse_0, mse_b): the initial-condition and periodic-boundary
+    terms alone — shared by the XLA loss and the fused-kernel loss
+    (pinn/ops/pallas_schrodinger.py), where only the residual term is
+    replaced."""
+    dt_ = X0.dtype
     # Initial condition: per-column means, as the reference sums
     # mean(u err) + mean(v err) (inf_cont_schrodinger.py:117-118) — a
     # block mean over (N, 2) would halve the term's weight.
@@ -82,6 +79,18 @@ def loss_terms(net_params, X0, H0, X_lb, X_ub, X_f, lb, ub,
              + mse(out_lo.value[:, 1] - out_hi.value[:, 1])
              + mse(out_lo.d1[:, 0] - out_hi.d1[:, 0])
              + mse(out_lo.d1[:, 1] - out_hi.d1[:, 1]))
+    return mse_0, mse_b
+
+
+def loss_terms(net_params, X0, H0, X_lb, X_ub, X_f, lb, ub,
+               f_weights: Optional[jnp.ndarray] = None) -> SchrodingerLossTerms:
+    """The three loss terms; the reference prints them every step
+    (inf_cont_schrodinger.py:128), so they are exposed separately.
+
+    X0: (N_0, 2) initial points (x0, 0); H0: (N_0, 2) their (u, v).
+    X_lb/X_ub: (N_b, 2) boundary points at x=lb/x=ub, shared times.
+    """
+    mse_0, mse_b = ic_bc_terms(net_params, X0, H0, X_lb, X_ub, lb, ub)
 
     # PDE residual.
     f_u, f_v = residual(net_params, X_f, lb, ub)

@@ -97,3 +97,35 @@ def test_experiment_fused_residual_hp_matches_xla_path():
     base = inf_cont_burgers.run(dict(hp))
     fused = inf_cont_burgers.run({**hp, "fused_residual": True})
     np.testing.assert_allclose(fused["error"], base["error"], rtol=1e-3)
+
+
+@pytest.mark.parametrize("layers,n_u,n_f", [
+    ([2, 20, 20, 20, 1], 32, 300),   # ragged tail: padding w=0 path
+    ([2, 20, 20, 20, 20, 20, 20, 20, 20, 1], 100, 2048),
+    ([2, 16, 1], 7, 1017),           # data+collocation straddle a tile
+])
+def test_combined_train_loss_and_grad_match_oracle(layers, n_u, n_f):
+    """The single-launch combined kernel (data term folded into the
+    stream, grads computed in the custom_vjp forward) must reproduce
+    the XLA loss AND its jax.grad to f32 accuracy."""
+    params, X_f, lb, ub = _setup(layers, n_f)
+    rng = np.random.RandomState(11)
+    batch = {"X_u": jnp.asarray(rng.rand(n_u, 2), jnp.float32),
+             "u": jnp.asarray(rng.rand(n_u, 1), jnp.float32),
+             "X_f": X_f}
+    loss = pallas_train.make_burgers_loss(lb, ub, NU, interpret=True)
+
+    def oracle(p, b):
+        return burgers.loss_cont_inference(
+            p, b["X_u"], b["u"], b["X_f"], jnp.asarray(lb),
+            jnp.asarray(ub), NU)
+
+    val, grads = jax.value_and_grad(loss)(params, batch)
+    want_val, want_grads = jax.value_and_grad(oracle)(params, batch)
+    np.testing.assert_allclose(float(val), float(want_val), rtol=1e-5)
+    for (gw1, gb1), (gw2, gb2) in zip(grads, want_grads):
+        scale = max(1e-3, float(jnp.max(jnp.abs(gw2))))
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=5e-4, atol=5e-6 * scale)
+        np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2),
+                                   rtol=5e-4, atol=5e-6 * scale)
