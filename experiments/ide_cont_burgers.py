@@ -88,6 +88,13 @@ def run(hp=None, plot=False, save_path=None):
     hp = {**DEFAULT_HP, **(hp or {})}
     setup(hp.get("seed", 1234))
     validate(hp)
+    if hp.get("tpu_mesh"):
+        # Deliberately unsupported: the residual is evaluated at the
+        # N_u=2,000 data points (no separate collocation set, reference
+        # ide_cont_burgers.py:56) — far below the ~1e5 points where
+        # sharding starts to pay (SCALING.md); see PARITY.md S2.5.
+        raise ValueError("tpu_mesh is not supported by this experiment "
+                         "(tiny point sets; see PARITY.md S2.5)")
     dtype = resolve_dtype(hp)
     logger = Logger(hp)
 

@@ -52,6 +52,15 @@ def run(hp=None, plot=False, save_path=None):
     hp = {**DEFAULT_HP, **(hp or {})}
     key = setup(hp.get("seed", 1234))
     validate(hp)
+    if hp.get("tpu_mesh"):
+        # Deliberately unsupported: this experiment trains on N <= 250
+        # points with SSE losses — an 8-way shard of that axis spends
+        # more on collectives than the sub-millisecond local matmuls it
+        # saves, and the q-stage IRK coupling is a local MXU matmul by
+        # design (PARITY.md S2.5).  The continuous-inference
+        # experiments are the sharded ones.
+        raise ValueError("tpu_mesh is not supported by this experiment "
+                         "(tiny point sets; see PARITY.md S2.5)")
     hp["layers"] = list(hp["layers"])
     hp["layers"][-1] = hp["q"] + 1
     dtype = resolve_dtype(hp)

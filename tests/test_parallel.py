@@ -196,3 +196,19 @@ def test_experiment_tpu_mesh_hp_matches_unsharded(mesh):
         # test_sharded_loss_matches_single_device above).
         np.testing.assert_allclose(sharded["error"], base["error"],
                                    rtol=5e-2)
+
+
+def test_disc_ide_experiments_reject_tpu_mesh():
+    """The disc/ide experiments deliberately reject hp["tpu_mesh"]
+    (tiny point sets — PARITY.md §2.5) instead of silently ignoring it."""
+    import os
+    import sys
+    import pytest
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments"))
+    import inf_disc_burgers
+    import ide_cont_burgers
+    import ide_disc_burgers
+    for mod in (inf_disc_burgers, ide_cont_burgers, ide_disc_burgers):
+        with pytest.raises(ValueError, match="tpu_mesh"):
+            mod.run({"tpu_mesh": True, "tf_epochs": 1, "nt_epochs": 1})
