@@ -82,6 +82,14 @@ PROBES = {
                 {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
                  "log_frequency": 2000, "nt_line_search": "wolfe"},
             ]},
+    # 3-member prediction ensemble over full P5 runs (init_seed varied)
+    # — the fallback if champion selection can't beat the bad basin.
+    "P11": {"ensemble": 3, "stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+         "log_frequency": 2000, "nt_line_search": "wolfe"},
+    ]},
     # P5 but the f64 refinement runs on a one-shot RAR draw (half the
     # collocation budget on the current net's highest-residual points —
     # the shock line), targeting the bad-basin generalization gap.
@@ -136,6 +144,26 @@ def val_metric(r) -> float:
     return float(jnp.mean(jnp.square(f))) + mse_u
 
 
+def _run_stages(stages, seed: int, init_seed=None):
+    """Plain staged recipe: chain stages through a checkpoint, return
+    the final stage's result dict."""
+    ckpt = None
+    for i, stage in enumerate(stages):
+        hp = dict(stage, seed=seed)
+        if init_seed is not None:
+            hp["init_seed"] = init_seed
+        if ckpt:
+            hp["init_checkpoint"] = ckpt
+        if i + 1 < len(stages):
+            fd, ckpt = tempfile.mkstemp(suffix=".npz")
+            os.close(fd)
+            hp["save_checkpoint"] = ckpt
+        result = exp.run(hp, plot=False)
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)
+    return result
+
+
 def run_probe(name: str, seed: int = 1234) -> dict:
     spec = PROBES[name]
     stages = spec["stages"]
@@ -144,6 +172,37 @@ def run_probe(name: str, seed: int = 1234) -> dict:
     champion = spec.get("champion", "train_loss")
     t0 = time.time()
     ckpt = None
+
+    if spec.get("ensemble"):
+        # Prediction ensembling (VERDICT round-2 item #2, plan b): run
+        # the full recipe per member (init_seed varied, same train
+        # data), average the grid predictions — uniformly and weighted
+        # by 1/val_metric (no test data in the weights).
+        import numpy as np
+        members = []
+        for j in range(spec["ensemble"]):
+            r = _run_stages(stages, seed, init_seed=seed + 7919 * j)
+            m = val_metric(r)
+            print(f"  member {j}: val_residual {m:.4e} "
+                  f"(error {r['error']:.4e})", flush=True)
+            members.append((m, r))
+        u_star = members[0][1]["data"].u_star
+
+        def rel_l2(u_pred):
+            return float(np.linalg.norm(u_star - u_pred, 2)
+                         / np.linalg.norm(u_star, 2))
+
+        uni = rel_l2(np.mean([r["u_pred"] for _, r in members], axis=0))
+        wts = np.array([1.0 / m for m, _ in members])
+        wts /= wts.sum()
+        wtd = rel_l2(np.sum([w * r["u_pred"]
+                             for w, (_, r) in zip(wts, members)], axis=0))
+        print(f"  ensemble: uniform {uni:.4e}  weighted {wtd:.4e}",
+              flush=True)
+        return {"probe": name, "seed": seed, "error": min(uni, wtd),
+                "error_uniform": uni, "error_weighted": wtd,
+                "members": [r["error"] for _, r in members],
+                "duration_s": round(time.time() - t0, 1)}
 
     def run_starts(hp, metric_name):
         """Run the first stage from n_starts inits (same train data —
