@@ -52,23 +52,29 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024
 
 
-def _layer_fwd(wt, b, a_cat, T, first=False, z1row=None, z2row=None):
+def _layer_fwd(wt, b, a_cat, T, first=False, z1row=None, z2row=None,
+               sdt=jnp.float32):
     """One stacked-stream layer: Z_cat = wt @ a_cat (+ bias on the value
     columns), then the tanh/tangent recombination.
 
     Returns (a_cat_out, t, z1, z11, z2) — the latter four are what the
     backward needs to rematerialize this layer.
+
+    ``sdt`` is the stream dtype: float32 (exact) or bfloat16 (MXU-native
+    inputs; every dot still accumulates in f32 via
+    preferred_element_type, and the recombination math runs in f32).
     """
     if first:
         # a_cat is just a0 (din, T); the tangent rows are constant:
         # z1/z2 are (h, 1) broadcasts and z11 is exactly zero.
-        zv = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32) + b
-        z1 = jnp.broadcast_to(z1row, zv.shape)
+        zv = jnp.dot(wt, a_cat,
+                     preferred_element_type=jnp.float32) + b.astype(jnp.float32)
+        z1 = jnp.broadcast_to(z1row.astype(jnp.float32), zv.shape)
         z11 = jnp.zeros_like(zv)
-        z2 = jnp.broadcast_to(z2row, zv.shape)
+        z2 = jnp.broadcast_to(z2row.astype(jnp.float32), zv.shape)
     else:
         Z = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
-        zv = Z[:, 0 * T:1 * T] + b
+        zv = Z[:, 0 * T:1 * T] + b.astype(jnp.float32)
         z1 = Z[:, 1 * T:2 * T]
         z11 = Z[:, 2 * T:3 * T]
         z2 = Z[:, 3 * T:4 * T]
@@ -76,18 +82,23 @@ def _layer_fwd(wt, b, a_cat, T, first=False, z1row=None, z2row=None):
     sp = 1.0 - t * t
     spp = -2.0 * t * sp
     a_cat_out = jnp.concatenate(
-        [t, sp * z1, spp * z1 * z1 + sp * z11, sp * z2], axis=1)
+        [t, sp * z1, spp * z1 * z1 + sp * z11, sp * z2], axis=1).astype(sdt)
     return a_cat_out, t, z1, z11, z2
 
 
-def _layer_bwd(wt, t, z1, z11, z2, g_cat, T):
+def _layer_bwd(wt, t, z1, z11, z2, g_cat, T, sdt=jnp.float32):
     """Backward of the tanh/tangent recombination + the stacked matmul.
 
     ``g_cat`` (h, 4T) holds the adjoints of this layer's four outputs.
     Returns (gZ_cat, g_in_cat) where gZ_cat are the adjoints of the
-    pre-activation streams (for the weight gradient) and g_in_cat the
-    adjoints of the layer inputs.
+    pre-activation streams (for the weight gradient, in ``sdt`` so the
+    weight-grad dot runs on MXU-native inputs) and g_in_cat the
+    adjoints of the layer inputs (f32 accumulated).
     """
+    t = t.astype(jnp.float32)
+    z1 = z1.astype(jnp.float32)
+    z11 = z11.astype(jnp.float32)
+    z2 = z2.astype(jnp.float32)
     g0 = g_cat[:, 0 * T:1 * T]
     g1 = g_cat[:, 1 * T:2 * T]
     g2 = g_cat[:, 2 * T:3 * T]
@@ -103,8 +114,9 @@ def _layer_bwd(wt, t, z1, z11, z2, g_cat, T):
     gz_1 = g1 * sp + g2 * (2.0 * spp * z1)
     gz_11 = g2 * sp
     gz_2 = g3 * sp
-    gZ_cat = jnp.concatenate([gz_v, gz_1, gz_11, gz_2], axis=1)
-    g_in_cat = jnp.dot(wt.T, gZ_cat, preferred_element_type=jnp.float32)
+    gZ_cat = jnp.concatenate([gz_v, gz_1, gz_11, gz_2], axis=1).astype(sdt)
+    g_in_cat = jnp.dot(wt.T, gZ_cat,
+                       preferred_element_type=jnp.float32)
     return gZ_cat, g_in_cat
 
 
@@ -412,7 +424,8 @@ def make_burgers_sse(lb, ub, nu: float, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _make_train_kernel(n_hidden: int, nu: float, T: int):
+def _make_train_kernel(n_hidden: int, nu: float, T: int,
+                       sdt=jnp.float32):
     n_layers = n_hidden + 1
 
     def kernel(x_ref, aux_ref, z1row_ref, z2row_ref, *refs):
@@ -432,23 +445,24 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int):
             gz1row_ref[:] = jnp.zeros_like(gz1row_ref)
             gz2row_ref[:] = jnp.zeros_like(gz2row_ref)
 
-        a0 = x_ref[:]                       # (din, T)
-        target = aux_ref[0:1, :]            # (1, T)
+        a0 = x_ref[:]                       # (din, T), sdt
+        target = aux_ref[0:1, :]            # (1, T), f32
         w = aux_ref[1:2, :]
         d = aux_ref[2:3, :]
 
         a_cat, t, z1, z11, z2 = _layer_fwd(
             wref[0][:], wref[1][:], a0, T,
-            first=True, z1row=z1row_ref[:], z2row=z2row_ref[:])
-        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+            first=True, z1row=z1row_ref[:], z2row=z2row_ref[:], sdt=sdt)
+        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1).astype(sdt)
         for l in range(1, n_hidden):
             a_cat, t, z1, z11, z2 = _layer_fwd(
-                wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
-            saved[l][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+                wref[2 * l][:], wref[2 * l + 1][:], a_cat, T, sdt=sdt)
+            saved[l][:] = jnp.concatenate([t, z1, z11, z2],
+                                          axis=1).astype(sdt)
 
         wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
         U = jnp.dot(wt_out, a_cat, preferred_element_type=jnp.float32)
-        u = U[:, 0 * T:1 * T] + b_out
+        u = U[:, 0 * T:1 * T] + b_out.astype(jnp.float32)
         u_x = U[:, 1 * T:2 * T]
         u_xx = U[:, 2 * T:3 * T]
         u_t = U[:, 3 * T:4 * T]
@@ -461,12 +475,12 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int):
         g_f = 2.0 * w * f
         gU = jnp.concatenate(
             [g_f * (d + e * u_x), g_f * e * u, -nu * g_f * e, g_f * e],
-            axis=1)                         # (1, 4T)
+            axis=1).astype(sdt)             # (1, 4T)
 
         gw_refs[2 * n_hidden][:] += jnp.dot(
             gU, a_cat.T, preferred_element_type=jnp.float32)
         gw_refs[2 * n_hidden + 1][:] += jnp.sum(
-            gU[:, 0:T], axis=1, keepdims=True)
+            gU[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
         g_cat = jnp.dot(wt_out.T, gU, preferred_element_type=jnp.float32)
 
         for l in range(n_hidden - 1, 0, -1):
@@ -476,40 +490,44 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int):
             z11 = S[:, 2 * T:3 * T]
             z2 = S[:, 3 * T:4 * T]
             gZ_cat, g_cat = _layer_bwd(wref[2 * l][:], t, z1, z11, z2,
-                                       g_cat, T)
+                                       g_cat, T, sdt=sdt)
             Sp = saved[l - 1][:]
-            tp = Sp[:, 0 * T:1 * T]
-            z1p = Sp[:, 1 * T:2 * T]
-            z11p = Sp[:, 2 * T:3 * T]
-            z2p = Sp[:, 3 * T:4 * T]
+            tp = Sp[:, 0 * T:1 * T].astype(jnp.float32)
+            z1p = Sp[:, 1 * T:2 * T].astype(jnp.float32)
+            z11p = Sp[:, 2 * T:3 * T].astype(jnp.float32)
+            z2p = Sp[:, 3 * T:4 * T].astype(jnp.float32)
             spp_ = 1.0 - tp * tp
             sppp = -2.0 * tp * spp_
             a_in = jnp.concatenate(
                 [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
-                 spp_ * z2p], axis=1)
+                 spp_ * z2p], axis=1).astype(sdt)
             gw_refs[2 * l][:] += jnp.dot(
                 gZ_cat, a_in.T, preferred_element_type=jnp.float32)
             gw_refs[2 * l + 1][:] += jnp.sum(
-                gZ_cat[:, 0:T], axis=1, keepdims=True)
+                gZ_cat[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
 
         S = saved[0][:]
         t = S[:, 0 * T:1 * T]
         z1 = S[:, 1 * T:2 * T]
         z11 = S[:, 2 * T:3 * T]
         z2 = S[:, 3 * T:4 * T]
-        gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T)
+        gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T,
+                               sdt=sdt)
         gz_v = gZ_cat[:, 0:T]
         gw_refs[0][:] += jnp.dot(gz_v, a0.T,
                                  preferred_element_type=jnp.float32)
-        gw_refs[1][:] += jnp.sum(gz_v, axis=1, keepdims=True)
-        gz1row_ref[:] += jnp.sum(gZ_cat[:, T:2 * T], axis=1, keepdims=True)
-        gz2row_ref[:] += jnp.sum(gZ_cat[:, 3 * T:4 * T], axis=1,
+        gw_refs[1][:] += jnp.sum(gz_v.astype(jnp.float32), axis=1,
                                  keepdims=True)
+        gz1row_ref[:] += jnp.sum(
+            gZ_cat[:, T:2 * T].astype(jnp.float32), axis=1, keepdims=True)
+        gz2row_ref[:] += jnp.sum(
+            gZ_cat[:, 3 * T:4 * T].astype(jnp.float32), axis=1,
+            keepdims=True)
 
     return kernel
 
 
-def _fwd_train_kernel(n_hidden: int, nu: float, T: int,
+def _fwd_train_kernel(n_hidden: int, nu: float, T: int, sdt,
                       x_ref, aux_ref, z1row_ref, z2row_ref, *refs):
     """Loss-only variant of the combined kernel (pure evaluations —
     logger lines, line-search probes outside value_and_grad)."""
@@ -524,13 +542,14 @@ def _fwd_train_kernel(n_hidden: int, nu: float, T: int,
 
     a_cat, *_ = _layer_fwd(wref[0][:], wref[1][:], a0, T,
                            first=True, z1row=z1row_ref[:],
-                           z2row=z2row_ref[:])
+                           z2row=z2row_ref[:], sdt=sdt)
     for l in range(1, n_hidden):
-        a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
+        a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T,
+                               sdt=sdt)
 
     wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
     U = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
-    u = U[:, 0 * T:1 * T] + b
+    u = U[:, 0 * T:1 * T] + b.astype(jnp.float32)
     u_x = U[:, 1 * T:2 * T]
     u_xx = U[:, 2 * T:3 * T]
     u_t = U[:, 3 * T:4 * T]
@@ -545,12 +564,15 @@ def _fwd_train_kernel(n_hidden: int, nu: float, T: int,
     loss_ref[0, 0] += jnp.sum(w * f * f)
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("nu", "interpret", "sdt_name"))
 def _train_loss_call(wt_args, a0p, auxp, z1row, z2row, nu,
-                     interpret=False):
+                     interpret=False, sdt_name="float32"):
+    sdt = jnp.dtype(sdt_name)
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
-    kernel = functools.partial(_fwd_train_kernel, n_layers - 1, nu, TILE)
+    kernel = functools.partial(_fwd_train_kernel, n_layers - 1, nu, TILE,
+                               sdt)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
     out = pl.pallas_call(
         kernel,
@@ -565,34 +587,37 @@ def _train_loss_call(wt_args, a0p, auxp, z1row, z2row, nu,
         ] + w_specs,
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), a0p.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
     )(a0p, auxp, z1row, z2row, *wt_args)
     return out[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("nu", "interpret", "sdt_name"))
 def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
-                          interpret=False):
+                          interpret=False, sdt_name="float32"):
+    sdt = jnp.dtype(sdt_name)
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
     n_hidden = n_layers - 1
-    kernel = _make_train_kernel(n_hidden, nu, TILE)
+    kernel = _make_train_kernel(n_hidden, nu, TILE, sdt=sdt)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
 
-    out_shapes = [jax.ShapeDtypeStruct((1, 1), a0p.dtype)]
+    # Loss and every gradient accumulate in f32 regardless of sdt.
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
     out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)]
     for wt in wt_args:
-        out_shapes.append(jax.ShapeDtypeStruct(wt.shape, wt.dtype))
+        out_shapes.append(jax.ShapeDtypeStruct(wt.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
     for zrow in (z1row, z2row):
-        out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, zrow.dtype))
+        out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(zrow.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
 
-    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), a0p.dtype)
+    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), sdt)
                for l in range(n_hidden)]
 
     outs = pl.pallas_call(
@@ -617,7 +642,8 @@ def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
     return loss, gwt, gz1row, gz2row
 
 
-def make_burgers_loss(lb, ub, nu: float, interpret: bool = False):
+def make_burgers_loss(lb, ub, nu: float, interpret: bool = False,
+                      stream_dtype=None):
     """Full reference loss, fully fused: ``loss(params, batch) =
     mse(u - u_pred) + mse(u_t + u u_x - nu u_xx)`` with data AND
     collocation points in one kernel stream, loss + parameter gradients
@@ -625,12 +651,21 @@ def make_burgers_loss(lb, ub, nu: float, interpret: bool = False):
     computes gradients alongside the loss and the backward is a scalar
     rescale).
 
+    ``stream_dtype="bfloat16"`` runs the layer streams and saved
+    buffers in bf16 (the MXU's native input width — halves VMEM and
+    doubles peak matmul rate) while the loss, every gradient, and all
+    recombination math accumulate in f32.  Residual precision drops to
+    bf16's ~3 decimal digits — intended for Adam warmup phases (same
+    rationale as hp["tf_net_dtype"]); L-BFGS refinement should stay on
+    the exact f32/f64 paths.
+
     Drop-in for ``pinn.problems.burgers.loss_cont_inference`` on the
     f32 TPU path; differentiable and jit/scan-safe.
     """
     nu = float(nu)
     lb_arr = np.asarray(lb, np.float32)
     ub_arr = np.asarray(ub, np.float32)
+    sdt_name = str(jnp.dtype(stream_dtype or jnp.float32))
 
     def _prep_all(params, batch):
         X_u, u, X_f = batch["X_u"], batch["u"], batch["X_f"]
@@ -644,13 +679,19 @@ def make_burgers_loss(lb, ub, nu: float, interpret: bool = False):
              jnp.full((n_f,), 1.0 / n_f, dtype)])
         d = jnp.concatenate(
             [jnp.ones((n_u,), dtype), jnp.zeros((n_f,), dtype)])
-        aux = jnp.stack([target, w, d])                  # (3, N)
+        aux = jnp.stack([target, w, d])                  # (3, N), f32
         a0, z1row, z2row, wt_args, vx, vt = _prep(params, X, lb_arr,
                                                   ub_arr, dtype)
         n = X.shape[0]
         a0p, n_tot = _pad_points(a0, n, TILE)
         if n_tot != n:  # padding: w=0 kills both loss and grads
             aux = jnp.pad(aux, ((0, 0), (0, n_tot - n)))
+        sdt = jnp.dtype(sdt_name)
+        if sdt != a0p.dtype:  # bf16 streams: cast kernel inputs once
+            a0p = a0p.astype(sdt)
+            z1row = z1row.astype(sdt)
+            z2row = z2row.astype(sdt)
+            wt_args = [a.astype(sdt) for a in wt_args]
         return a0p, aux, z1row, z2row, wt_args, vx, vt
 
     def _assemble_grads(params, gwt, gz1row, gz2row, vx, vt, g):
@@ -668,13 +709,14 @@ def make_burgers_loss(lb, ub, nu: float, interpret: bool = False):
     def loss(params, batch):
         a0p, aux, z1row, z2row, wt_args, _, _ = _prep_all(params, batch)
         return _train_loss_call(tuple(wt_args), a0p, aux, z1row, z2row,
-                                nu, interpret=interpret)
+                                nu, interpret=interpret,
+                                sdt_name=sdt_name)
 
     def loss_fwd(params, batch):
         a0p, aux, z1row, z2row, wt_args, vx, vt = _prep_all(params, batch)
         val, gwt, gz1row, gz2row = _train_loss_grad_call(
             tuple(wt_args), a0p, aux, z1row, z2row, nu,
-            interpret=interpret)
+            interpret=interpret, sdt_name=sdt_name)
         return val, (params, batch, gwt, gz1row, gz2row, vx, vt)
 
     def loss_bwd(res, g):

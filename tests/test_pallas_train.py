@@ -129,3 +129,34 @@ def test_combined_train_loss_and_grad_match_oracle(layers, n_u, n_f):
                                    rtol=5e-4, atol=5e-6 * scale)
         np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2),
                                    rtol=5e-4, atol=5e-6 * scale)
+
+
+def test_bf16_stream_loss_and_grad_direction():
+    """bf16 streams + f32 accumulation: loss within bf16 tolerance of
+    the oracle and gradients pointing the same way (cosine > 0.999) —
+    warmup-grade precision by design."""
+    layers = [2, 20, 20, 20, 20, 1]
+    params, X_f, lb, ub = _setup(layers, 1024)
+    rng = np.random.RandomState(11)
+    batch = {"X_u": jnp.asarray(rng.rand(64, 2), jnp.float32),
+             "u": jnp.asarray(rng.rand(64, 1), jnp.float32),
+             "X_f": X_f}
+    loss16 = pallas_train.make_burgers_loss(lb, ub, NU, interpret=True,
+                                            stream_dtype="bfloat16")
+
+    def oracle(p, b):
+        return burgers.loss_cont_inference(
+            p, b["X_u"], b["u"], b["X_f"], jnp.asarray(lb),
+            jnp.asarray(ub), NU)
+
+    val, grads = jax.value_and_grad(loss16)(params, batch)
+    want_val, want_grads = jax.value_and_grad(oracle)(params, batch)
+    assert val.dtype == jnp.float32
+    np.testing.assert_allclose(float(val), float(want_val), rtol=3e-2)
+    g1 = np.concatenate([np.asarray(a).ravel()
+                         for wb in grads for a in wb])
+    g2 = np.concatenate([np.asarray(a).ravel()
+                         for wb in want_grads for a in wb])
+    cos = float(g1 @ g2 / (np.linalg.norm(g1) * np.linalg.norm(g2)))
+    assert cos > 0.999, cos
+    assert abs(np.linalg.norm(g1) / np.linalg.norm(g2) - 1) < 0.05
