@@ -92,9 +92,13 @@ def run(hp=None, plot=False, save_path=None):
             raise ValueError("fused_residual requires dtype=float32 and "
                              "no tpu_mesh (the XLA path covers those)")
         from pinn.ops.pallas_schrodinger import make_schrodinger_loss
+        # fused_residual: True = exact f32 streams; "bf16"/"bfloat16" =
+        # bf16 streams with f32 accumulation (warmup-grade precision).
+        sdt = ("bfloat16" if str(hp["fused_residual"]).lower()
+               in ("bf16", "bfloat16") else None)
         loss_fn = make_schrodinger_loss(
             np.asarray(data.lb), np.asarray(data.ub),
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", stream_dtype=sdt)
     else:
         def loss_fn(p, b):
             return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"],

@@ -61,7 +61,7 @@ def _head(U, b_out, T, i, n_real):
     return u, v, f_u * m, f_v * m
 
 
-def _fwd_kernel(n_hidden: int, n_real: int, T: int,
+def _fwd_kernel(n_hidden: int, n_real: int, T: int, sdt,
                 x_ref, z1row_ref, z2row_ref, *refs):
     """Forward only: accumulate SSE over tiles."""
     wref = refs[:-1]
@@ -70,13 +70,14 @@ def _fwd_kernel(n_hidden: int, n_real: int, T: int,
 
     a_cat, *_ = _layer_fwd(wref[0][:], wref[1][:], x_ref[:], T,
                            first=True, z1row=z1row_ref[:],
-                           z2row=z2row_ref[:])
+                           z2row=z2row_ref[:], sdt=sdt)
     for l in range(1, n_hidden):
-        a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
+        a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T,
+                               sdt=sdt)
 
     wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
     U = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
-    _, _, f_u, f_v = _head(U, b, T, i, n_real)
+    _, _, f_u, f_v = _head(U, b.astype(jnp.float32), T, i, n_real)
 
     @pl.when(i == 0)
     def _():
@@ -85,7 +86,8 @@ def _fwd_kernel(n_hidden: int, n_real: int, T: int,
     sse_ref[0, 0] += jnp.sum(f_u * f_u) + jnp.sum(f_v * f_v)
 
 
-def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int):
+def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int,
+                         sdt=jnp.float32):
     n_layers = n_hidden + 1
 
     def kernel(x_ref, z1row_ref, z2row_ref, *refs):
@@ -108,16 +110,17 @@ def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int):
         a0 = x_ref[:]
         a_cat, t, z1, z11, z2 = _layer_fwd(
             wref[0][:], wref[1][:], a0, T,
-            first=True, z1row=z1row_ref[:], z2row=z2row_ref[:])
-        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+            first=True, z1row=z1row_ref[:], z2row=z2row_ref[:], sdt=sdt)
+        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1).astype(sdt)
         for l in range(1, n_hidden):
             a_cat, t, z1, z11, z2 = _layer_fwd(
-                wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
-            saved[l][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+                wref[2 * l][:], wref[2 * l + 1][:], a_cat, T, sdt=sdt)
+            saved[l][:] = jnp.concatenate([t, z1, z11, z2],
+                                          axis=1).astype(sdt)
 
         wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
         U = jnp.dot(wt_out, a_cat, preferred_element_type=jnp.float32)
-        u, v, f_u, f_v = _head(U, b_out, T, i, n_real)
+        u, v, f_u, f_v = _head(U, b_out.astype(jnp.float32), T, i, n_real)
         sse_ref[0, 0] += jnp.sum(f_u * f_u) + jnp.sum(f_v * f_v)
 
         # ---- residual adjoints (2, T) per stream ----
@@ -131,7 +134,8 @@ def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int):
         gDxx = jnp.concatenate([-0.5 * g_fv, 0.5 * g_fu], axis=0)
         gDt = jnp.concatenate([g_fu, g_fv], axis=0)
         gU = jnp.concatenate(
-            [gV, jnp.zeros_like(gV), gDxx, gDt], axis=1)   # (2, 4T)
+            [gV, jnp.zeros_like(gV), gDxx, gDt],
+            axis=1).astype(sdt)                            # (2, 4T)
 
         gw_refs[2 * n_hidden][:] += jnp.dot(
             gU, a_cat.T, preferred_element_type=jnp.float32)
@@ -145,44 +149,52 @@ def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int):
             z11 = S[:, 2 * T:3 * T]
             z2 = S[:, 3 * T:4 * T]
             gZ_cat, g_cat = _layer_bwd(wref[2 * l][:], t, z1, z11, z2,
-                                       g_cat, T)
+                                       g_cat, T, sdt=sdt)
             Sp = saved[l - 1][:]
-            tp = Sp[:, 0 * T:1 * T]
-            z1p = Sp[:, 1 * T:2 * T]
-            z11p = Sp[:, 2 * T:3 * T]
-            z2p = Sp[:, 3 * T:4 * T]
+            tp = Sp[:, 0 * T:1 * T].astype(jnp.float32)
+            z1p = Sp[:, 1 * T:2 * T].astype(jnp.float32)
+            z11p = Sp[:, 2 * T:3 * T].astype(jnp.float32)
+            z2p = Sp[:, 3 * T:4 * T].astype(jnp.float32)
             spp_ = 1.0 - tp * tp
             sppp = -2.0 * tp * spp_
             a_in = jnp.concatenate(
                 [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
-                 spp_ * z2p], axis=1)
+                 spp_ * z2p], axis=1).astype(sdt)
             gw_refs[2 * l][:] += jnp.dot(
                 gZ_cat, a_in.T, preferred_element_type=jnp.float32)
             gw_refs[2 * l + 1][:] += jnp.sum(
-                gZ_cat[:, 0:T], axis=1, keepdims=True)
+                gZ_cat[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
 
         S = saved[0][:]
         t = S[:, 0 * T:1 * T]
         z1 = S[:, 1 * T:2 * T]
         z11 = S[:, 2 * T:3 * T]
         z2 = S[:, 3 * T:4 * T]
-        gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T)
+        gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T,
+                               sdt=sdt)
         gz_v = gZ_cat[:, 0:T]
         gw_refs[0][:] += jnp.dot(gz_v, a0.T,
                                  preferred_element_type=jnp.float32)
-        gw_refs[1][:] += jnp.sum(gz_v, axis=1, keepdims=True)
-        gz1row_ref[:] += jnp.sum(gZ_cat[:, T:2 * T], axis=1, keepdims=True)
-        gz2row_ref[:] += jnp.sum(gZ_cat[:, 3 * T:4 * T], axis=1,
+        gw_refs[1][:] += jnp.sum(gz_v.astype(jnp.float32), axis=1,
                                  keepdims=True)
+        gz1row_ref[:] += jnp.sum(
+            gZ_cat[:, T:2 * T].astype(jnp.float32), axis=1, keepdims=True)
+        gz2row_ref[:] += jnp.sum(
+            gZ_cat[:, 3 * T:4 * T].astype(jnp.float32), axis=1,
+            keepdims=True)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_real", "interpret"))
-def _sse_fwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("n_real", "interpret", "sdt_name"))
+def _sse_fwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False,
+                  sdt_name="float32"):
+    sdt = jnp.dtype(sdt_name)
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
-    kernel = functools.partial(_fwd_kernel, n_layers - 1, n_real, TILE)
+    kernel = functools.partial(_fwd_kernel, n_layers - 1, n_real, TILE,
+                               sdt)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
     sse = pl.pallas_call(
         kernel,
@@ -195,33 +207,37 @@ def _sse_fwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False):
         ] + w_specs,
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), a0p.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
     )(a0p, z1row, z2row, *wt_args)
     return sse[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("n_real", "interpret"))
-def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("n_real", "interpret", "sdt_name"))
+def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False,
+                      sdt_name="float32"):
+    sdt = jnp.dtype(sdt_name)
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
     n_hidden = n_layers - 1
-    kernel = _make_fwd_bwd_kernel(n_hidden, n_real, TILE)
+    kernel = _make_fwd_bwd_kernel(n_hidden, n_real, TILE, sdt=sdt)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
 
-    out_shapes = [jax.ShapeDtypeStruct((1, 1), a0p.dtype)]
+    # Loss and every gradient accumulate in f32 regardless of sdt.
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
     out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)]
     for wt in wt_args:
-        out_shapes.append(jax.ShapeDtypeStruct(wt.shape, wt.dtype))
+        out_shapes.append(jax.ShapeDtypeStruct(wt.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
     for zrow in (z1row, z2row):
-        out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, zrow.dtype))
+        out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(zrow.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
 
-    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), a0p.dtype)
+    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), sdt)
                for l in range(n_hidden)]
 
     outs = pl.pallas_call(
@@ -244,7 +260,8 @@ def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False):
     return sse, gwt, gz1row, gz2row
 
 
-def make_schrodinger_sse(lb, ub, interpret: bool = False):
+def make_schrodinger_sse(lb, ub, interpret: bool = False,
+                         stream_dtype=None):
     """Differentiable fused ``sse(params, X_f) -> sum(f_u^2 + f_v^2)``.
 
     custom_vjp: the forward runs the fused forward+backward kernel ONCE
@@ -254,6 +271,16 @@ def make_schrodinger_sse(lb, ub, interpret: bool = False):
     """
     lb_arr = np.asarray(lb, np.float32)
     ub_arr = np.asarray(ub, np.float32)
+    sdt_name = str(jnp.dtype(stream_dtype or jnp.float32))
+
+    def _cast_streams(a0p, z1row, z2row, wt_args):
+        sdt = jnp.dtype(sdt_name)
+        if sdt != a0p.dtype:  # bf16 streams: cast kernel inputs once
+            a0p = a0p.astype(sdt)
+            z1row = z1row.astype(sdt)
+            z2row = z2row.astype(sdt)
+            wt_args = [a.astype(sdt) for a in wt_args]
+        return a0p, z1row, z2row, wt_args
 
     def _assemble(params, gwt, gz1row, gz2row, vx, vt, g):
         grads = []
@@ -272,17 +299,22 @@ def make_schrodinger_sse(lb, ub, interpret: bool = False):
         a0, z1row, z2row, wt_args, _, _ = _prep(params, X_f, lb_arr,
                                                 ub_arr, dtype)
         a0p, _ = _pad_points(a0, X_f.shape[0], TILE)
+        a0p, z1row, z2row, wt_args = _cast_streams(a0p, z1row, z2row,
+                                                   wt_args)
         return _sse_fwd_call(tuple(wt_args), a0p, z1row, z2row,
-                             X_f.shape[0], interpret=interpret)
+                             X_f.shape[0], interpret=interpret,
+                             sdt_name=sdt_name)
 
     def sse_fwd(params, X_f):
         dtype = X_f.dtype
         a0, z1row, z2row, wt_args, vx, vt = _prep(params, X_f, lb_arr,
                                                   ub_arr, dtype)
         a0p, _ = _pad_points(a0, X_f.shape[0], TILE)
+        a0p, z1row, z2row, wt_args = _cast_streams(a0p, z1row, z2row,
+                                                   wt_args)
         val, gwt, gz1row, gz2row = _sse_fwd_bwd_call(
             tuple(wt_args), a0p, z1row, z2row, X_f.shape[0],
-            interpret=interpret)
+            interpret=interpret, sdt_name=sdt_name)
         return val, (params, X_f, gwt, gz1row, gz2row, vx, vt)
 
     def sse_bwd(res, g):
@@ -294,7 +326,8 @@ def make_schrodinger_sse(lb, ub, interpret: bool = False):
     return sse
 
 
-def make_schrodinger_loss(lb, ub, interpret: bool = False):
+def make_schrodinger_loss(lb, ub, interpret: bool = False,
+                          stream_dtype=None):
     """Full reference loss with the fused kernel on the residual term:
     ``mse_0 + mse_b + sse_f / N_f`` (reference
     inf_cont_schrodinger.py:107-129; IC/BC terms stay XLA — 50 points
@@ -302,7 +335,8 @@ def make_schrodinger_loss(lb, ub, interpret: bool = False):
     """
     from pinn.problems import schrodinger as sprob
 
-    fused = make_schrodinger_sse(lb, ub, interpret=interpret)
+    fused = make_schrodinger_sse(lb, ub, interpret=interpret,
+                                 stream_dtype=stream_dtype)
     lb_j = jnp.asarray(lb, jnp.float32)
     ub_j = jnp.asarray(ub, jnp.float32)
 

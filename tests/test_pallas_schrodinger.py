@@ -103,3 +103,23 @@ def test_experiment_fused_residual_hp_matches_xla_path():
     base = inf_cont_schrodinger.run(dict(hp))
     fused = inf_cont_schrodinger.run({**hp, "fused_residual": True})
     np.testing.assert_allclose(fused["error"], base["error"], rtol=1e-3)
+
+
+def test_bf16_stream_sse_and_grad_direction():
+    """bf16 streams + f32 accumulation: SSE within bf16 tolerance of
+    the oracle, gradient cosine > 0.999 (warmup-grade by design)."""
+    params, X_f = _setup([2, 100, 100, 100, 100, 2], 512)
+    sse16 = pallas_schrodinger.make_schrodinger_sse(
+        LB, UB, interpret=True, stream_dtype="bfloat16")
+    val = float(sse16(params, X_f))
+    want = float(_oracle_sse(params, X_f))
+    np.testing.assert_allclose(val, want, rtol=3e-2)
+    g_fused = jax.grad(lambda p: sse16(p, X_f))(params)
+    g_oracle = jax.grad(lambda p: _oracle_sse(p, X_f))(params)
+    g1 = np.concatenate([np.asarray(a).ravel()
+                         for wb in g_fused for a in wb])
+    g2 = np.concatenate([np.asarray(a).ravel()
+                         for wb in g_oracle for a in wb])
+    cos = float(g1 @ g2 / (np.linalg.norm(g1) * np.linalg.norm(g2)))
+    assert cos > 0.999, cos
+    assert abs(np.linalg.norm(g1) / np.linalg.norm(g2) - 1) < 0.05
