@@ -65,7 +65,8 @@ def flops_per_point(layers) -> float:
 
 
 def measure(n_f: int, shard: bool, chunk: int = 10, reps: int = 20,
-            fused: bool = False, problem: str = "burgers"):
+            fused: bool = False, problem: str = "burgers",
+            stream_dtype=None):
     dtype = jnp.float32
     layers = LAYERS_SCHRO if problem == "schrodinger" else LAYERS
     params = mlp.init_mlp(jax.random.PRNGKey(0), layers, dtype)
@@ -90,7 +91,8 @@ def measure(n_f: int, shard: bool, chunk: int = 10, reps: int = 20,
         }
         if fused:
             from pinn.ops.pallas_schrodinger import make_schrodinger_loss
-            loss_fn = make_schrodinger_loss(lb_n, ub_n)
+            loss_fn = make_schrodinger_loss(lb_n, ub_n,
+                                            stream_dtype=stream_dtype)
         else:
             from pinn.problems import schrodinger as sprob
 
@@ -105,7 +107,8 @@ def measure(n_f: int, shard: bool, chunk: int = 10, reps: int = 20,
                  "X_f": jnp.asarray(rng.rand(n_f, 2), dtype)}
         if fused:
             from pinn.ops.pallas_train import make_burgers_loss
-            loss_fn = make_burgers_loss(lb, ub, 0.01 / np.pi)
+            loss_fn = make_burgers_loss(lb, ub, 0.01 / np.pi,
+                                        stream_dtype=stream_dtype)
         else:
             def loss_fn(p, b):
                 return burgers.loss_cont_inference(p, b["X_u"], b["u"],
@@ -136,9 +139,12 @@ def main():
     quick = "--quick" in sys.argv
     fused = "--fused" in sys.argv
     problem = "burgers"
+    stream = None
     for a in sys.argv[1:]:
         if a.startswith("--problem="):
             problem = a.split("=", 1)[1]
+        if a.startswith("--stream="):  # e.g. --stream=bfloat16 (+ --fused)
+            stream = a.split("=", 1)[1]
     sizes = [1000, 10000, 100000] if quick else [1000, 10000, 100000, 1000000]
     if problem == "schrodinger" and not quick:
         # 4x100 net: 1e6 points x 729 kFLOP/pt is ~12 GB of stream
@@ -151,7 +157,8 @@ def main():
     rows = []
     for n_f in sizes:
         sps, evals, tflops = measure(n_f, shard, reps=5 if quick else 20,
-                                     fused=fused, problem=problem)
+                                     fused=fused, problem=problem,
+                                     stream_dtype=stream)
         rows.append((n_f, sps, evals, tflops))
         print(f"N_f={n_f:>8d}  steps/s={sps:10.1f}  "
               f"residual-pt-evals/s={evals:.3e}  "
@@ -167,7 +174,9 @@ def main():
         fh.write("\n| backend | problem | devices | sharded | N_f "
                  "| steps/s | residual-pt evals/s | TFLOP/s "
                  "| % f32 ceiling |\n|---|---|---|---|---|---|---|---|---|\n")
-        backend = jax.default_backend() + ("(fused)" if fused else "")
+        backend = jax.default_backend() + (
+            "(fused-bf16)" if fused and stream else
+            "(fused)" if fused else "")
         for n_f, sps, evals, tflops in rows:
             fh.write(f"| {backend} | {problem} | {jax.device_count()} "
                      f"| {shard} | {n_f} | {sps:.1f} | {evals:.3e} "
