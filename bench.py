@@ -96,14 +96,25 @@ def setup_jax():
 
 
 def main():
+    global START
     smoke = "--smoke" in sys.argv
     skip_tf = "--no-tf" in sys.argv
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(BUDGET_S) + 15)
 
     jax = setup_jax()
     import jax.numpy as jnp
     import numpy as np
+
+    # Force the device attach BEFORE arming the budget clock: on this
+    # host the first device op can block several minutes inside libtpu
+    # (tunnel release/reacquire), during which Python signal handlers
+    # cannot run.  The driver's own timeout bounds the attach; our
+    # budget bounds only the measured work after it.
+    t0 = time.time()
+    jax.block_until_ready(jnp.zeros(()) + 1.0)
+    log(f"device attach + first op: {time.time() - t0:.1f}s")
+    START = time.time()
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(BUDGET_S) + 15)
 
     from pinn.models import mlp
     from pinn.problems import burgers
