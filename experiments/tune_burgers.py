@@ -82,6 +82,10 @@ PROBES = {
                 {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
                  "log_frequency": 2000, "nt_line_search": "wolfe"},
             ]},
+    # Two-arm seed-robust recipe: default-init P5 in one arm, the
+    # screened-champion P10 in the other, final iterate picked by
+    # held-out validation residual (see run_probe arms branch).
+    "P13": {"arms": ["P5", "P10"]},
     # 3-member prediction ensemble over full P5 runs (init_seed varied)
     # — the fallback if champion selection can't beat the bad basin.
     "P11": {"ensemble": 3, "stages": [
@@ -165,6 +169,42 @@ def _run_stages(stages, seed: int, init_seed=None):
 
 
 def run_probe(name: str, seed: int = 1234) -> dict:
+    spec = PROBES[name]
+    t0 = time.time()
+
+    if spec.get("arms"):
+        # Two-arm selection (P13): run each arm's full recipe, keep the
+        # final iterate with the smaller held-out validation residual.
+        # Rationale (measured, RESULTS.md): the screened-champion P10
+        # fixes bad-lottery seeds (7: 2.9e-3 -> 9.0e-4, 42: 2.4e-3 ->
+        # 5.8e-4) but the 2.5k-iter screen can mis-rank a default basin
+        # that refines exceptionally (1234: P5 5.9e-4 vs P10 2.7e-3);
+        # selecting between the two FINISHED arms by final val residual
+        # keeps the better of both worlds with no test data involved.
+        finals = []
+        for arm in spec["arms"]:
+            r = _execute(arm, seed)
+            v = val_metric(r)
+            print(f"  arm {arm}: final val_residual {v:.4e} "
+                  f"(error {r['error']:.4e})", flush=True)
+            finals.append((v, arm, r))
+        v, arm, r = min(finals, key=lambda t: t[0])
+        return {"probe": name, "seed": seed, "error": r["error"],
+                "picked_arm": arm,
+                "arm_errors": {a: rr["error"] for _, a, rr in finals},
+                "duration_s": round(time.time() - t0, 1)}
+
+    result = _execute(name, seed)
+    if isinstance(result, dict) and "probe" in result:  # ensemble row
+        return result
+    return {"probe": name, "seed": seed, "error": result["error"],
+            "final_val_residual": val_metric(result),
+            "duration_s": round(time.time() - t0, 1)}
+
+
+def _execute(name: str, seed: int):
+    """Run probe ``name``'s recipe; returns the final exp.run result
+    dict (or, for ensemble probes, the finished row)."""
     spec = PROBES[name]
     stages = spec["stages"]
     n_starts = spec.get("multi_start", 1)
@@ -262,8 +302,7 @@ def run_probe(name: str, seed: int = 1234) -> dict:
     for c in (ckpt, screen_ckpt):
         if c and os.path.exists(c):
             os.remove(c)
-    return {"probe": name, "seed": seed, "error": result["error"],
-            "duration_s": round(time.time() - t0, 1)}
+    return result
 
 
 def main():
