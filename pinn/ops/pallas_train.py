@@ -27,14 +27,18 @@ This kernel does what the autodiff cannot:
   20-wide feature dimension sits on sublanes (see
   pallas_residual.py measurements).
 
-The public entry is :func:`burgers_sse_and_grad_fn`, returning a
-``jax.custom_vjp``-wrapped ``sse(params, X_f) -> scalar`` that is a
-drop-in differentiable building block: compose the full reference loss
-as ``mse_u + sse_f / N_f`` and feed it to the existing Adam/L-BFGS
-trainers.  Gradient-tested against the ``jax.grad`` oracle of the pure
-Taylor-engine loss (tests/test_pallas_train.py).
+Public entries: :func:`make_burgers_loss` — the v2 single-launch
+training loss (data term folded into the point stream, loss + all
+parameter gradients in ONE kernel launch per step; the fastest path at
+every N_f, SCALING.md) — and :func:`make_burgers_sse`, the
+residual-SSE-only building block (v1 design: separate fwd and fwd+bwd
+kernels).  Both are ``jax.custom_vjp``-wrapped and gradient-tested
+against the ``jax.grad`` oracle of the pure Taylor-engine loss
+(tests/test_pallas_train.py).
 
-float32 only (the TPU fast path; f64 parity runs use the XLA engine).
+float32 streams by default (the TPU fast path; f64 parity runs use the
+XLA engine); ``stream_dtype="bfloat16"`` is available on
+make_burgers_loss for warmup-grade bf16 streams with f32 accumulation.
 """
 
 from __future__ import annotations
