@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pinn.ops.pallas_train import _layer_fwd, _layer_bwd, _prep, _pad_points
+from pinn.ops.pallas_train import _layer_fwd, _layer_bwd, _prep, _pad_points, _dot
 
 # 100-wide layers: saved stream buffers are (100, 4T) f32 per hidden
 # layer; T=512 keeps the whole working set (~6 MB) comfortably in VMEM.
@@ -76,7 +76,7 @@ def _fwd_kernel(n_hidden: int, n_real: int, T: int, sdt,
                                sdt=sdt)
 
     wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
-    U = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
+    U = _dot(wt, a_cat)
     _, _, f_u, f_v = _head(U, b.astype(jnp.float32), T, i, n_real)
 
     @pl.when(i == 0)
@@ -119,7 +119,7 @@ def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int,
                                           axis=1).astype(sdt)
 
         wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
-        U = jnp.dot(wt_out, a_cat, preferred_element_type=jnp.float32)
+        U = _dot(wt_out, a_cat)
         u, v, f_u, f_v = _head(U, b_out.astype(jnp.float32), T, i, n_real)
         sse_ref[0, 0] += jnp.sum(f_u * f_u) + jnp.sum(f_v * f_v)
 
@@ -137,10 +137,9 @@ def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int,
             [gV, jnp.zeros_like(gV), gDxx, gDt],
             axis=1).astype(sdt)                            # (2, 4T)
 
-        gw_refs[2 * n_hidden][:] += jnp.dot(
-            gU, a_cat.T, preferred_element_type=jnp.float32)
+        gw_refs[2 * n_hidden][:] += _dot(gU, a_cat.T)
         gw_refs[2 * n_hidden + 1][:] += jnp.sum(gV, axis=1, keepdims=True)
-        g_cat = jnp.dot(wt_out.T, gU, preferred_element_type=jnp.float32)
+        g_cat = _dot(wt_out.T, gU)
 
         for l in range(n_hidden - 1, 0, -1):
             S = saved[l][:]
@@ -160,8 +159,7 @@ def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int,
             a_in = jnp.concatenate(
                 [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
                  spp_ * z2p], axis=1).astype(sdt)
-            gw_refs[2 * l][:] += jnp.dot(
-                gZ_cat, a_in.T, preferred_element_type=jnp.float32)
+            gw_refs[2 * l][:] += _dot(gZ_cat, a_in.T)
             gw_refs[2 * l + 1][:] += jnp.sum(
                 gZ_cat[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
 
@@ -173,8 +171,7 @@ def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int,
         gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T,
                                sdt=sdt)
         gz_v = gZ_cat[:, 0:T]
-        gw_refs[0][:] += jnp.dot(gz_v, a0.T,
-                                 preferred_element_type=jnp.float32)
+        gw_refs[0][:] += _dot(gz_v, a0.T)
         gw_refs[1][:] += jnp.sum(gz_v.astype(jnp.float32), axis=1,
                                  keepdims=True)
         gz1row_ref[:] += jnp.sum(

@@ -56,6 +56,22 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024
 
 
+def _dot(a, b):
+    """MXU dot with f32 accumulation and dtype-appropriate precision.
+
+    bf16 operands must NOT inherit ``jax_default_matmul_precision=
+    "highest"`` (the experiments' global f32 setting): Mosaic rejects a
+    ``tpu.matmul`` with ``contract_precision<fp32>`` on bf16 inputs
+    ("Bad lhs type"), and the request is meaningless anyway — bf16
+    inputs are consumed exactly by the MXU in one pass.  f32 operands
+    keep whatever precision the caller configured globally.
+    """
+    if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+        return jnp.dot(a, b, precision=jax.lax.Precision.DEFAULT,
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _layer_fwd(wt, b, a_cat, T, first=False, z1row=None, z2row=None,
                sdt=jnp.float32):
     """One stacked-stream layer: Z_cat = wt @ a_cat (+ bias on the value
@@ -71,13 +87,12 @@ def _layer_fwd(wt, b, a_cat, T, first=False, z1row=None, z2row=None,
     if first:
         # a_cat is just a0 (din, T); the tangent rows are constant:
         # z1/z2 are (h, 1) broadcasts and z11 is exactly zero.
-        zv = jnp.dot(wt, a_cat,
-                     preferred_element_type=jnp.float32) + b.astype(jnp.float32)
+        zv = _dot(wt, a_cat) + b.astype(jnp.float32)
         z1 = jnp.broadcast_to(z1row.astype(jnp.float32), zv.shape)
         z11 = jnp.zeros_like(zv)
         z2 = jnp.broadcast_to(z2row.astype(jnp.float32), zv.shape)
     else:
-        Z = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
+        Z = _dot(wt, a_cat)
         zv = Z[:, 0 * T:1 * T] + b.astype(jnp.float32)
         z1 = Z[:, 1 * T:2 * T]
         z11 = Z[:, 2 * T:3 * T]
@@ -119,8 +134,7 @@ def _layer_bwd(wt, t, z1, z11, z2, g_cat, T, sdt=jnp.float32):
     gz_11 = g2 * sp
     gz_2 = g3 * sp
     gZ_cat = jnp.concatenate([gz_v, gz_1, gz_11, gz_2], axis=1).astype(sdt)
-    g_in_cat = jnp.dot(wt.T, gZ_cat,
-                       preferred_element_type=jnp.float32)
+    g_in_cat = _dot(wt.T, gZ_cat)
     return gZ_cat, g_in_cat
 
 
@@ -141,7 +155,7 @@ def _fwd_kernel(n_hidden: int, nu: float, n_real: int, T: int,
         a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
 
     wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
-    U = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
+    U = _dot(wt, a_cat)
     u = U[:, 0 * T:1 * T] + b
     u_x = U[:, 1 * T:2 * T]
     u_xx = U[:, 2 * T:3 * T]
@@ -192,7 +206,7 @@ def _make_fwd_bwd_kernel(n_hidden: int, nu: float, n_real: int, T: int):
             saved[l][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
 
         wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
-        U = jnp.dot(wt_out, a_cat, preferred_element_type=jnp.float32)
+        U = _dot(wt_out, a_cat)
         u = U[:, 0 * T:1 * T] + b_out
         u_x = U[:, 1 * T:2 * T]
         u_xx = U[:, 2 * T:3 * T]
@@ -209,11 +223,10 @@ def _make_fwd_bwd_kernel(n_hidden: int, nu: float, n_real: int, T: int):
             [g_f * u_x, g_f * u, -nu * g_f, g_f], axis=1)  # (1, 4T)
 
         # ---- output layer backward ----
-        gw_refs[2 * n_hidden][:] += jnp.dot(
-            gU, a_cat.T, preferred_element_type=jnp.float32)
+        gw_refs[2 * n_hidden][:] += _dot(gU, a_cat.T)
         gw_refs[2 * n_hidden + 1][:] += jnp.sum(
             g_f * u_x, axis=1, keepdims=True)
-        g_cat = jnp.dot(wt_out.T, gU, preferred_element_type=jnp.float32)
+        g_cat = _dot(wt_out.T, gU)
 
         # ---- hidden layers backward (remat from saved buffers) ----
         for l in range(n_hidden - 1, 0, -1):
@@ -235,8 +248,7 @@ def _make_fwd_bwd_kernel(n_hidden: int, nu: float, n_real: int, T: int):
             a_in = jnp.concatenate(
                 [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
                  spp_ * z2p], axis=1)
-            gw_refs[2 * l][:] += jnp.dot(
-                gZ_cat, a_in.T, preferred_element_type=jnp.float32)
+            gw_refs[2 * l][:] += _dot(gZ_cat, a_in.T)
             gw_refs[2 * l + 1][:] += jnp.sum(
                 gZ_cat[:, 0:T], axis=1, keepdims=True)
 
@@ -248,8 +260,7 @@ def _make_fwd_bwd_kernel(n_hidden: int, nu: float, n_real: int, T: int):
         z2 = S[:, 3 * T:4 * T]
         gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T)
         gz_v = gZ_cat[:, 0:T]
-        gw_refs[0][:] += jnp.dot(gz_v, a0.T,
-                                 preferred_element_type=jnp.float32)
+        gw_refs[0][:] += _dot(gz_v, a0.T)
         gw_refs[1][:] += jnp.sum(gz_v, axis=1, keepdims=True)
         # z1/z2 were broadcast rows: their adjoints are column sums.
         gz1row_ref[:] += jnp.sum(gZ_cat[:, T:2 * T], axis=1, keepdims=True)
@@ -465,7 +476,7 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int,
                                           axis=1).astype(sdt)
 
         wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
-        U = jnp.dot(wt_out, a_cat, preferred_element_type=jnp.float32)
+        U = _dot(wt_out, a_cat)
         u = U[:, 0 * T:1 * T] + b_out.astype(jnp.float32)
         u_x = U[:, 1 * T:2 * T]
         u_xx = U[:, 2 * T:3 * T]
@@ -481,11 +492,10 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int,
             [g_f * (d + e * u_x), g_f * e * u, -nu * g_f * e, g_f * e],
             axis=1).astype(sdt)             # (1, 4T)
 
-        gw_refs[2 * n_hidden][:] += jnp.dot(
-            gU, a_cat.T, preferred_element_type=jnp.float32)
+        gw_refs[2 * n_hidden][:] += _dot(gU, a_cat.T)
         gw_refs[2 * n_hidden + 1][:] += jnp.sum(
             gU[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
-        g_cat = jnp.dot(wt_out.T, gU, preferred_element_type=jnp.float32)
+        g_cat = _dot(wt_out.T, gU)
 
         for l in range(n_hidden - 1, 0, -1):
             S = saved[l][:]
@@ -505,8 +515,7 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int,
             a_in = jnp.concatenate(
                 [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
                  spp_ * z2p], axis=1).astype(sdt)
-            gw_refs[2 * l][:] += jnp.dot(
-                gZ_cat, a_in.T, preferred_element_type=jnp.float32)
+            gw_refs[2 * l][:] += _dot(gZ_cat, a_in.T)
             gw_refs[2 * l + 1][:] += jnp.sum(
                 gZ_cat[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
 
@@ -518,8 +527,7 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int,
         gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T,
                                sdt=sdt)
         gz_v = gZ_cat[:, 0:T]
-        gw_refs[0][:] += jnp.dot(gz_v, a0.T,
-                                 preferred_element_type=jnp.float32)
+        gw_refs[0][:] += _dot(gz_v, a0.T)
         gw_refs[1][:] += jnp.sum(gz_v.astype(jnp.float32), axis=1,
                                  keepdims=True)
         gz1row_ref[:] += jnp.sum(
@@ -552,7 +560,7 @@ def _fwd_train_kernel(n_hidden: int, nu: float, T: int, sdt,
                                sdt=sdt)
 
     wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
-    U = jnp.dot(wt, a_cat, preferred_element_type=jnp.float32)
+    U = _dot(wt, a_cat)
     u = U[:, 0 * T:1 * T] + b.astype(jnp.float32)
     u_x = U[:, 1 * T:2 * T]
     u_xx = U[:, 2 * T:3 * T]
