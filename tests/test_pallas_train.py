@@ -160,3 +160,27 @@ def test_bf16_stream_loss_and_grad_direction():
     cos = float(g1 @ g2 / (np.linalg.norm(g1) * np.linalg.norm(g2)))
     assert cos > 0.999, cos
     assert abs(np.linalg.norm(g1) / np.linalg.norm(g2) - 1) < 0.05
+
+
+def test_dot_precision_by_dtype():
+    """_dot must never request the f32 6-pass algorithm on bf16 inputs:
+    Mosaic rejects tpu.matmul with contract_precision<fp32> on bf16
+    operands ("Bad lhs type" on v5e), so bf16 dots pin DEFAULT even when
+    the experiments set jax_default_matmul_precision=highest, while f32
+    dots keep the configured global precision."""
+    a16 = jnp.zeros((8, 16), jnp.bfloat16)
+    b16 = jnp.zeros((16, 8), jnp.bfloat16)
+    a32, b32 = a16.astype(jnp.float32), b16.astype(jnp.float32)
+
+    def precision_of(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        eqn, = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+        return eqn.params["precision"]
+
+    with jax.default_matmul_precision("highest"):
+        p16 = precision_of(pallas_train._dot, a16, b16)
+        pmix = precision_of(pallas_train._dot, a32, b16)
+        p32 = precision_of(pallas_train._dot, a32, b32)
+    assert p16 == (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT), p16
+    assert pmix == (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT), pmix
+    assert p32 == (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST), p32
