@@ -13,16 +13,24 @@ before any backend initialization.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Opt-in real-TPU tier: ``PINN_TPU_TESTS=1 pytest -m tpu`` keeps the
+# session's axon TPU backend (no CPU forcing, no x64 — the chip has no
+# f64) so tpu-marked tests compile the Pallas kernels through Mosaic,
+# the layer the interpret-mode tier cannot reach.
+TPU_TIER = bool(os.environ.get("PINN_TPU_TESTS"))
+
+if not TPU_TIER:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-# Float64 available for parity tests; default dtype stays f32.
-jax.config.update("jax_enable_x64", True)
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
+    # Float64 available for parity tests; default dtype stays f32.
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 import sys  # noqa: E402
@@ -37,7 +45,8 @@ def _x64_stays_enabled():
     multi-stage runs get independent stage dtypes), which would leak an
     f32 stage's x64=False into whatever f64 test runs next."""
     yield
-    jax.config.update("jax_enable_x64", True)
+    if not TPU_TIER:
+        jax.config.update("jax_enable_x64", True)
 
 
 @pytest.fixture
