@@ -202,6 +202,22 @@ def main():
         })
         emit(record)
 
+    # --- Optional: bf16-stream fused variant. Warmup-grade precision
+    # (~3 decimal digits on the residual), so it is reported as an
+    # extra key and never folded into the exact-path headline value.
+    if backend == "tpu" and remaining() > 75:
+        try:
+            from pinn.ops.pallas_train import make_burgers_loss
+            bf16_sps = time_adam(
+                make_burgers_loss(lb_, ub_, nu, stream_dtype="bfloat16"),
+                "fused-bf16")
+            record["fused_bf16_steps_per_sec"] = round(bf16_sps, 2)
+            emit(record)
+        except Exception as e:  # pragma: no cover
+            log(f"bf16 fused path unavailable: {type(e).__name__}: {e}")
+    elif backend == "tpu":
+        log(f"skipping bf16 fused section ({remaining():.0f}s budget left)")
+
     # --- Optional: L-BFGS iterations/sec.
     if remaining() > 90:
         chunk = 10
