@@ -82,32 +82,42 @@ def run(hp=None, plot=False, save_path=None):
         req = hp["tpu_mesh"]
         mesh = make_mesh(None if req is True else int(req))
 
-        def pad_Xf(X_f_np):
-            Xp, w = pad_points_with_weights(np.asarray(X_f_np),
+        if not hp.get("fused_residual"):
+            # XLA mesh path: pad the collocation axis with zero-weight
+            # rows so any N_f divides the mesh.  The fused DP path has
+            # no weight rows; it requires N_f % devices == 0 instead
+            # (checked inside make_burgers_loss_dp).
+            Xp, w = pad_points_with_weights(np.asarray(data.X_f),
                                             mesh.devices.size)
-            return jnp.asarray(Xp, dtype), jnp.asarray(w, dtype)
-
-        X_f, f_w = pad_Xf(data.X_f)
+            X_f, f_w = jnp.asarray(Xp, dtype), jnp.asarray(w, dtype)
 
     batch = {"X_u": X_u, "u": u, "X_f": X_f}
     if f_w is not None:
         batch["f_w"] = f_w
 
     if hp.get("fused_residual"):
-        # Fused Pallas forward+backward residual kernel (f32,
-        # single-chip): one VMEM pass per point tile, no HBM activation
-        # traffic — the throughput path for large N_f (SCALING.md).
-        if dtype != jnp.float32 or mesh is not None:
-            raise ValueError("fused_residual requires dtype=float32 and "
-                             "no tpu_mesh (the XLA path covers those)")
-        from pinn.ops.pallas_train import make_burgers_loss
+        # Fused Pallas forward+backward residual kernel (f32): one VMEM
+        # pass per point tile, no HBM activation traffic — the
+        # throughput path for large N_f (SCALING.md).  With tpu_mesh it
+        # composes via shard_map: one kernel launch per device per
+        # step, gradients psum'd over ICI (make_burgers_loss_dp).
+        if dtype != jnp.float32:
+            raise ValueError("fused_residual requires dtype=float32 "
+                             "(the XLA path covers f64)")
+        from pinn.ops.pallas_train import (make_burgers_loss,
+                                           make_burgers_loss_dp)
         # fused_residual: True = exact f32 streams; "bf16"/"bfloat16" =
         # bf16 streams with f32 accumulation (warmup-grade precision).
         sdt = ("bfloat16" if str(hp["fused_residual"]).lower()
                in ("bf16", "bfloat16") else None)
-        loss_fn = make_burgers_loss(
-            lb, ub, nu, interpret=jax.default_backend() != "tpu",
-            stream_dtype=sdt)
+        interp = jax.default_backend() != "tpu"
+        if mesh is not None:
+            loss_fn = make_burgers_loss_dp(lb, ub, nu, mesh,
+                                           interpret=interp,
+                                           stream_dtype=sdt)
+        else:
+            loss_fn = make_burgers_loss(lb, ub, nu, interpret=interp,
+                                        stream_dtype=sdt)
     else:
         def loss_fn(p, b):
             return burgers.loss_cont_inference(p, b["X_u"], b["u"],

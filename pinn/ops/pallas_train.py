@@ -739,3 +739,49 @@ def make_burgers_loss(lb, ub, nu: float, interpret: bool = False,
 
     loss.defvjp(loss_fwd, loss_bwd)
     return loss
+
+
+def make_burgers_loss_dp(lb, ub, nu: float, mesh, axis: str = "data",
+                         interpret: bool = False, stream_dtype=None):
+    """Data-parallel composition of the fused training kernel: every
+    device runs :func:`make_burgers_loss` on its shard of the point
+    axis and one ``psum`` re-assembles the global loss (and, through
+    shard_map's transpose, the parameter gradients).
+
+    Only the collocation axis shards; the N_u-point data term (tiny —
+    ~100 points) is computed redundantly on every device.  Exactness:
+    each device returns ``mse_u + (D/N_f)·sse_f_local`` (its local
+    ``n_f = N_f/D``), so ``psum(·)/D = mse_u + mse_f`` — the exact
+    global loss up to f32 summation order.  ``N_f % D == 0`` is
+    enforced at trace time (choose N_f accordingly; the fused batch
+    contract has no zero-weight pad rows — unlike the XLA mesh path's
+    ``pad_points_with_weights``).
+
+    The reference has no distribution at all (SURVEY.md §2.5); this is
+    the TPU-native scale-out of its hot loop: one fused kernel launch
+    per device per step, gradients reduced over ICI by the XLA psum —
+    no hand-written communication.
+    """
+    local = make_burgers_loss(lb, ub, nu, interpret=interpret,
+                              stream_dtype=stream_dtype)
+    n_dev = int(mesh.shape[axis])
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh
+    # annotation, so shard_map's vma checker cannot see through it.
+    sharded = shard_map(
+        lambda p, b: jax.lax.psum(local(p, b), axis) / n_dev,
+        mesh=mesh,
+        in_specs=(P(), {"X_u": P(), "u": P(), "X_f": P(axis)}),
+        out_specs=P(), check_vma=False)
+
+    def loss(params, batch):
+        if batch["X_f"].shape[0] % n_dev:
+            raise ValueError(
+                f"batch['X_f'] leading dim {batch['X_f'].shape[0]} must "
+                f"divide the mesh '{axis}' axis ({n_dev}) — choose N_f "
+                "as a multiple of the device count for the fused DP path")
+        return sharded(params, batch)
+
+    return loss

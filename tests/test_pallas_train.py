@@ -184,3 +184,32 @@ def test_dot_precision_by_dtype():
     assert p16 == (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT), p16
     assert pmix == (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT), pmix
     assert p32 == (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST), p32
+
+
+def test_dp_fused_loss_matches_unsharded():
+    """shard_map composition (make_burgers_loss_dp): 8-device DP over
+    the collocation axis reproduces the unsharded fused loss exactly
+    (replicated data term, psum/D algebra) and its grads to f32
+    summation noise; indivisible N_f is rejected up front."""
+    from pinn.parallel import make_mesh
+    layers = [2, 20, 20, 20, 1]
+    params, X_f, lb, ub = _setup(layers, 2048)
+    rng = np.random.RandomState(5)
+    batch = {"X_u": jnp.asarray(rng.rand(100, 2), jnp.float32),
+             "u": jnp.asarray(rng.rand(100, 1), jnp.float32),
+             "X_f": X_f}
+    mesh = make_mesh(8)
+    ref = pallas_train.make_burgers_loss(lb, ub, NU, interpret=True)
+    dp = pallas_train.make_burgers_loss_dp(lb, ub, NU, mesh,
+                                           interpret=True)
+    v1, g1 = jax.value_and_grad(ref)(params, batch)
+    v2, g2 = jax.value_and_grad(dp)(params, batch)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    f1 = np.concatenate([np.asarray(a).ravel()
+                         for a in jax.tree.leaves(g1)])
+    f2 = np.concatenate([np.asarray(a).ravel()
+                         for a in jax.tree.leaves(g2)])
+    np.testing.assert_allclose(f1, f2, rtol=1e-3, atol=1e-6)
+
+    with pytest.raises(ValueError, match="must divide the mesh"):
+        dp(params, {**batch, "X_f": X_f[:2047]})
