@@ -150,10 +150,15 @@ def run(hp=None, plot=False, save_path=None):
         else:
             X_f_new = data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng)
         b = dict(batch)
-        if mesh is None:
-            b["X_f"] = jnp.asarray(X_f_new, dtype)
+        if mesh is not None and not hp.get("fused_residual"):
+            from pinn.parallel import pad_points_with_weights
+            Xp, w = pad_points_with_weights(np.asarray(X_f_new),
+                                            mesh.devices.size)
+            b["X_f"], b["f_w"] = jnp.asarray(Xp, dtype), jnp.asarray(w, dtype)
         else:
-            b["X_f"], b["f_w"] = pad_Xf(X_f_new)
+            # Unsharded, or fused DP (no pad rows — N_f stays a
+            # multiple of the device count by construction).
+            b["X_f"] = jnp.asarray(X_f_new, dtype)
         return b
 
     if hp.get("rar_init") and hp.get("rar_pool") and mesh is None:

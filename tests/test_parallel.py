@@ -212,3 +212,26 @@ def test_disc_ide_experiments_reject_tpu_mesh():
     for mod in (inf_disc_burgers, ide_cont_burgers, ide_disc_burgers):
         with pytest.raises(ValueError, match="tpu_mesh"):
             mod.run({"tpu_mesh": True, "tf_epochs": 1, "nt_epochs": 1})
+
+
+def test_experiment_fused_dp_with_resample(mesh):
+    """hp["fused_residual"] composes with hp["tpu_mesh"]: the fused DP
+    shard_map path trains end-to-end through Adam+L-BFGS AND survives a
+    mid-training collocation resample (regression: the resample branch
+    once called a deleted pad helper on mesh runs)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments"))
+    import inf_cont_burgers
+
+    hp = {"tf_epochs": 8, "nt_epochs": 6, "log_frequency": 100,
+          "N_f": 1024, "tf_resample": 4}
+    fused = inf_cont_burgers.run({**hp, "tpu_mesh": 8,
+                                  "fused_residual": True})
+    base = inf_cont_burgers.run(dict(hp))
+    np.testing.assert_allclose(fused["error"], base["error"], rtol=5e-2)
+
+    # The XLA mesh path must also resample cleanly (pads each new draw).
+    xla = inf_cont_burgers.run({**hp, "N_f": 1000, "tpu_mesh": 8})
+    assert np.isfinite(xla["error"])
