@@ -75,30 +75,44 @@ def run(hp=None, plot=False, save_path=None):
         from pinn.parallel import make_mesh, pad_points_with_weights
         req = hp["tpu_mesh"]
         mesh = make_mesh(None if req is True else int(req))
-        Xp, w = pad_points_with_weights(np.asarray(data.X_f),
-                                        mesh.devices.size)
-        batch["X_f"] = jnp.asarray(Xp, dtype)
-        batch["f_w"] = jnp.asarray(w, dtype)
+        if not hp.get("fused_residual"):
+            # XLA mesh path: pad the collocation axis with zero-weight
+            # rows so any N_f divides the mesh.  The fused DP path has
+            # no weight rows; it requires N_f % devices == 0 instead
+            # (checked inside make_schrodinger_loss_dp).
+            Xp, w = pad_points_with_weights(np.asarray(data.X_f),
+                                            mesh.devices.size)
+            batch["X_f"] = jnp.asarray(Xp, dtype)
+            batch["f_w"] = jnp.asarray(w, dtype)
     X_star = jnp.asarray(data.X_star, dtype)
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
     net = maybe_load_params(hp, net)
 
     if hp.get("fused_residual"):
-        # Fused Pallas forward+backward residual kernel (f32,
-        # single-chip): one launch per step covers the N_f residual
-        # term; IC/BC terms stay XLA (SCALING.md).
-        if dtype != jnp.float32 or mesh is not None:
-            raise ValueError("fused_residual requires dtype=float32 and "
-                             "no tpu_mesh (the XLA path covers those)")
-        from pinn.ops.pallas_schrodinger import make_schrodinger_loss
+        # Fused Pallas forward+backward residual kernel (f32): one
+        # launch per step covers the N_f residual term; IC/BC terms
+        # stay XLA (SCALING.md).  With tpu_mesh it composes via
+        # shard_map: one kernel launch per device per step, gradients
+        # psum'd over ICI (make_schrodinger_loss_dp).
+        if dtype != jnp.float32:
+            raise ValueError("fused_residual requires dtype=float32 "
+                             "(the XLA path covers f64)")
+        from pinn.ops.pallas_schrodinger import (make_schrodinger_loss,
+                                                 make_schrodinger_loss_dp)
         # fused_residual: True = exact f32 streams; "bf16"/"bfloat16" =
         # bf16 streams with f32 accumulation (warmup-grade precision).
         sdt = ("bfloat16" if str(hp["fused_residual"]).lower()
                in ("bf16", "bfloat16") else None)
-        loss_fn = make_schrodinger_loss(
-            np.asarray(data.lb), np.asarray(data.ub),
-            interpret=jax.default_backend() != "tpu", stream_dtype=sdt)
+        interp = jax.default_backend() != "tpu"
+        if mesh is not None:
+            loss_fn = make_schrodinger_loss_dp(
+                np.asarray(data.lb), np.asarray(data.ub), mesh,
+                interpret=interp, stream_dtype=sdt)
+        else:
+            loss_fn = make_schrodinger_loss(
+                np.asarray(data.lb), np.asarray(data.ub),
+                interpret=interp, stream_dtype=sdt)
     else:
         def loss_fn(p, b):
             return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"],
@@ -126,13 +140,15 @@ def run(hp=None, plot=False, save_path=None):
         rng = np.random.RandomState(hp.get("seed", 1234) + i)
         X_f_new = data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng)
         b = dict(batch)
-        if mesh is None:
-            b["X_f"] = jnp.asarray(X_f_new, dtype)
-        else:
+        if mesh is not None and not hp.get("fused_residual"):
             from pinn.parallel import pad_points_with_weights
             Xp, w = pad_points_with_weights(X_f_new, mesh.devices.size)
             b["X_f"] = jnp.asarray(Xp, dtype)
             b["f_w"] = jnp.asarray(w, dtype)
+        else:
+            # Unsharded, or fused DP (no pad rows — N_f stays a
+            # multiple of the device count by construction).
+            b["X_f"] = jnp.asarray(X_f_new, dtype)
         return b
 
     trainer = Trainer(loss_fn, net, batch, hp, logger,

@@ -345,3 +345,44 @@ def make_schrodinger_loss(lb, ub, interpret: bool = False,
         return mse_0 + mse_b + fused(params, batch["X_f"]) / n_f
 
     return loss
+
+
+def make_schrodinger_loss_dp(lb, ub, mesh, axis: str = "data",
+                             interpret: bool = False, stream_dtype=None):
+    """Data-parallel composition of the fused Schrödinger loss: every
+    device runs :func:`make_schrodinger_loss` on its shard of the
+    collocation axis and one ``psum`` reassembles the global loss (and,
+    through shard_map's transpose, the parameter gradients).
+
+    Exactness mirrors ``make_burgers_loss_dp`` (pallas_train.py): the
+    local loss is ``mse_0 + mse_b + sse_local / (N_f/D)``, so
+    ``psum(·)/D = mse_0 + mse_b + sse_global/N_f`` — the exact
+    reference loss (inf_cont_schrodinger.py:107-129) up to f32
+    summation order.  The tiny IC/BC stacks (50 points each) are
+    computed redundantly per device; only X_f shards.  ``N_f % D == 0``
+    is enforced at call time.
+    """
+    local = make_schrodinger_loss(lb, ub, interpret=interpret,
+                                  stream_dtype=stream_dtype)
+    n_dev = int(mesh.shape[axis])
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh
+    # annotation, so shard_map's vma checker cannot see through it.
+    sharded = shard_map(
+        lambda p, b: jax.lax.psum(local(p, b), axis) / n_dev,
+        mesh=mesh,
+        in_specs=(P(), {"X0": P(), "H0": P(), "X_lb": P(),
+                        "X_ub": P(), "X_f": P(axis)}),
+        out_specs=P(), check_vma=False)
+
+    def loss(params, batch):
+        if batch["X_f"].shape[0] % n_dev:
+            raise ValueError(
+                f"batch['X_f'] leading dim {batch['X_f'].shape[0]} must "
+                f"divide the mesh '{axis}' axis ({n_dev}) — choose N_f "
+                "as a multiple of the device count for the fused DP path")
+        return sharded(params, batch)
+
+    return loss

@@ -123,3 +123,40 @@ def test_bf16_stream_sse_and_grad_direction():
     cos = float(g1 @ g2 / (np.linalg.norm(g1) * np.linalg.norm(g2)))
     assert cos > 0.999, cos
     assert abs(np.linalg.norm(g1) / np.linalg.norm(g2) - 1) < 0.05
+
+
+def test_dp_fused_loss_matches_unsharded():
+    """shard_map composition (make_schrodinger_loss_dp): 8-device DP
+    over the collocation axis reproduces the unsharded fused loss
+    (replicated IC/BC terms, psum/D algebra) and its grads to f32
+    summation noise; indivisible N_f is rejected up front."""
+    from pinn.parallel import make_mesh
+    params, X_f = _setup([2, 40, 40, 2], 1024)
+    rng = np.random.RandomState(7)
+    n0, nb = 20, 15
+    x0 = LB[0] + (UB[0] - LB[0]) * rng.rand(n0, 1)
+    tb = rng.rand(nb, 1) * (UB[1] - LB[1])
+    batch = {
+        "X0": jnp.asarray(np.hstack([x0, np.zeros((n0, 1))]), jnp.float32),
+        "H0": jnp.asarray(rng.rand(n0, 2), jnp.float32),
+        "X_lb": jnp.asarray(np.hstack([np.full((nb, 1), LB[0]), tb]),
+                            jnp.float32),
+        "X_ub": jnp.asarray(np.hstack([np.full((nb, 1), UB[0]), tb]),
+                            jnp.float32),
+        "X_f": X_f,
+    }
+    mesh = make_mesh(8)
+    ref = pallas_schrodinger.make_schrodinger_loss(LB, UB, interpret=True)
+    dp = pallas_schrodinger.make_schrodinger_loss_dp(LB, UB, mesh,
+                                                     interpret=True)
+    v1, g1 = jax.value_and_grad(ref)(params, batch)
+    v2, g2 = jax.value_and_grad(dp)(params, batch)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    f1 = np.concatenate([np.asarray(a).ravel()
+                         for a in jax.tree.leaves(g1)])
+    f2 = np.concatenate([np.asarray(a).ravel()
+                         for a in jax.tree.leaves(g2)])
+    np.testing.assert_allclose(f1, f2, rtol=1e-3, atol=1e-6)
+
+    with pytest.raises(ValueError, match="must divide the mesh"):
+        dp(params, {**batch, "X_f": X_f[:1023]})
