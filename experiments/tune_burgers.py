@@ -86,6 +86,13 @@ PROBES = {
     # screened-champion P10 in the other, final iterate picked by
     # held-out validation residual (see run_probe arms branch).
     "P13": {"arms": ["P5", "P10"]},
+    # Two-arm prediction AVERAGING (P13 post-mortem: label-free
+    # selection between converged basins mis-ranks, so don't select —
+    # average.  rel-L2(mean) <= mean(rel-L2) by the triangle
+    # inequality, so the measured arm matrix already bounds this
+    # recipe's worst-of-3 at 1.92e-3 < the 2e-3 target; in practice
+    # basin errors partially cancel and the average beats the bound).
+    "P14": {"avg_arms": ["P5", "P10"]},
     # 3-member prediction ensemble over full P5 runs (init_seed varied)
     # — the fallback if champion selection can't beat the bad basin.
     "P11": {"ensemble": 3, "stages": [
@@ -171,6 +178,35 @@ def _run_stages(stages, seed: int, init_seed=None):
 def run_probe(name: str, seed: int = 1234) -> dict:
     spec = PROBES[name]
     t0 = time.time()
+
+    if spec.get("avg_arms"):
+        # Two-arm prediction averaging (P14): run each arm's full
+        # recipe and average the grid predictions — uniform and
+        # 1/val_residual-weighted (no test data in the weights).
+        import numpy as np
+        arms = []
+        for arm in spec["avg_arms"]:
+            r = _execute(arm, seed)
+            v = val_metric(r)
+            print(f"  arm {arm}: val_residual {v:.4e} "
+                  f"(error {r['error']:.4e})", flush=True)
+            arms.append((v, arm, r))
+        u_star = arms[0][2]["data"].u_star
+
+        def rel_l2(u_pred):
+            return float(np.linalg.norm(u_star - u_pred, 2)
+                         / np.linalg.norm(u_star, 2))
+
+        uni = rel_l2(np.mean([r["u_pred"] for _, _, r in arms], axis=0))
+        wts = np.array([1.0 / v for v, _, _ in arms])
+        wts /= wts.sum()
+        wtd = rel_l2(np.sum([w * r["u_pred"]
+                             for w, (_, _, r) in zip(wts, arms)], axis=0))
+        print(f"  avg: uniform {uni:.4e}  weighted {wtd:.4e}", flush=True)
+        return {"probe": name, "seed": seed, "error": uni,
+                "error_uniform": uni, "error_weighted": wtd,
+                "arm_errors": {a: r["error"] for _, a, r in arms},
+                "duration_s": round(time.time() - t0, 1)}
 
     if spec.get("arms"):
         # Two-arm selection (P13): run each arm's full recipe, keep the

@@ -129,3 +129,32 @@ def test_schrodinger_fused_compiles_on_tpu(stream):
         g1, g2 = _flat(g), _flat(wg)
         cos = float(g1 @ g2 / (np.linalg.norm(g1) * np.linalg.norm(g2)))
         assert cos > 0.999, cos
+
+
+def test_fused_dp_wrappers_compile_on_tpu():
+    """shard_map + Mosaic: the DP compositions of both fused kernels
+    compile and match their unsharded values on the chip (1-device
+    mesh — the multi-device placement itself is validated on the
+    virtual CPU mesh; here we check the pallas_call survives Mosaic
+    lowering inside shard_map)."""
+    from pinn.ops.pallas_train import make_burgers_loss, make_burgers_loss_dp
+    from pinn.ops.pallas_schrodinger import make_schrodinger_loss_dp
+    from pinn.parallel import make_mesh
+
+    mesh = make_mesh(1)
+
+    _, params, lb, ub, batch, _ = _burgers_setup()
+    dp = make_burgers_loss_dp(lb, ub, NU, mesh)
+    ref = make_burgers_loss(lb, ub, NU)
+    v, g = jax.jit(jax.value_and_grad(dp))(params, batch)
+    wv, wg = jax.jit(jax.value_and_grad(ref))(params, batch)
+    np.testing.assert_allclose(float(v), float(wv), rtol=1e-6)
+    np.testing.assert_allclose(_flat(g), _flat(wg), rtol=1e-5, atol=1e-7)
+
+    _, sparams, slb, sub, sbatch, _ = _schro_setup()
+    sdp = make_schrodinger_loss_dp(slb, sub, mesh)
+    sref = make_schrodinger_loss(slb, sub)
+    v2, g2 = jax.jit(jax.value_and_grad(sdp))(sparams, sbatch)
+    wv2, wg2 = jax.jit(jax.value_and_grad(sref))(sparams, sbatch)
+    np.testing.assert_allclose(float(v2), float(wv2), rtol=1e-6)
+    np.testing.assert_allclose(_flat(g2), _flat(wg2), rtol=1e-5, atol=1e-7)
