@@ -83,7 +83,7 @@ def plot_inf_disc_results(x_star, idx_t_0, idx_t_1, x_0, u_0, ub, lb,
     ax0 = fig.add_subplot(gs0[0, 0])
     _heatmap(ax0, fig, Exact_u, t, x_star)
     for idx in (idx_t_0, idx_t_1):
-        ax0.axvline(float(t[idx]), color="w", linewidth=1)
+        ax0.axvline(float(np.ravel(t)[idx]), color="w", linewidth=1)
     ax0.set_title("$u(t,x)$", fontsize=10)
 
     gs1 = gridspec.GridSpec(1, 2)
@@ -92,14 +92,14 @@ def plot_inf_disc_results(x_star, idx_t_0, idx_t_1, x_0, u_0, ub, lb,
     ax1.plot(x, Exact_u[idx_t_0, :], "b-", linewidth=2)
     ax1.plot(x_0, u_0, "rx", linewidth=2, label="Data")
     ax1.set_xlabel("$x$")
-    ax1.set_title(f"$t = {float(t[idx_t_0]):.2f}$", fontsize=10)
+    ax1.set_title(f"$t = {float(np.ravel(t)[idx_t_0]):.2f}$", fontsize=10)
     ax1.legend(frameon=False)
 
     ax2 = fig.add_subplot(gs1[0, 1])
     ax2.plot(x, Exact_u[idx_t_1, :], "b-", linewidth=2, label="Exact")
     ax2.plot(x_star, u_1_pred, "r--", linewidth=2, label="Prediction")
     ax2.set_xlabel("$x$")
-    ax2.set_title(f"$t = {float(t[idx_t_1]):.2f}$", fontsize=10)
+    ax2.set_title(f"$t = {float(np.ravel(t)[idx_t_1]):.2f}$", fontsize=10)
     ax2.legend(frameon=False)
 
     if save_path is not None:
@@ -164,7 +164,7 @@ def plot_ide_disc_results(x_star, t_star, idx_t_0, idx_t_1, x_0, u_0,
     ax0 = fig.add_subplot(gs0[0, 0])
     _heatmap(ax0, fig, Exact.T, t_star, x_star)
     for idx in (idx_t_0, idx_t_1):
-        ax0.axvline(float(t_star[idx]), color="w", linewidth=1)
+        ax0.axvline(float(np.ravel(t_star)[idx]), color="w", linewidth=1)
     ax0.set_title("$u(t,x)$", fontsize=10)
 
     gs1 = gridspec.GridSpec(1, 2)
@@ -175,7 +175,7 @@ def plot_ide_disc_results(x_star, t_star, idx_t_0, idx_t_1, x_0, u_0,
         axk.plot(x_star, Exact[:, idx], "b", linewidth=2, label="Exact")
         axk.plot(xi, ui, "rx", linewidth=2, label="Data")
         axk.set_xlabel("$x$")
-        axk.set_title(f"$t = {float(t_star[idx]):.2f}$"
+        axk.set_title(f"$t = {float(np.ravel(t_star)[idx]):.2f}$"
                       f"\n{ui.shape[0]} training data", fontsize=9)
 
     gs2 = gridspec.GridSpec(1, 1)

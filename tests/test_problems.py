@@ -81,14 +81,14 @@ def test_irk_stage_map_on_exact_solution():
     x, t, usol = pdata.load_burgers()
     nu = 0.01 / np.pi
     idx0, idx1 = 10, 30
-    dtv = float(t[idx1] - t[idx0])
+    dtv = float(np.ravel(t)[idx1] - np.ravel(t)[idx0])
     q = 20
     tab = irk.gauss_legendre_irk(q)
 
     from datagen.burgers_exact import burgers_viscous_exact
     xs = x.ravel()[32:224:8]            # interior points, avoid boundary
-    stage_times = float(t[idx0]) + tab.c * dtv
-    eval_times = np.concatenate([stage_times, [float(t[idx1])]])
+    stage_times = float(np.ravel(t)[idx0]) + tab.c * dtv
+    eval_times = np.concatenate([stage_times, [float(np.ravel(t)[idx1])]])
     U = burgers_viscous_exact(nu, xs, eval_times, quad_points=128)  # (N, q+1)
 
     # Spatial derivatives of the stage fields via finite differences on
@@ -102,7 +102,7 @@ def test_irk_stage_map_on_exact_solution():
     W = np.vstack([tab.A, tab.b[None, :]])          # (q+1, q)
     N = U[:, :q] * U_x[:, :q] - nu * U_xx[:, :q]
     u0_pred = U + dtv * N @ W.T                      # (N, q+1)
-    u0_true = burgers_viscous_exact(nu, xs, np.array([float(t[idx0])]),
+    u0_true = burgers_viscous_exact(nu, xs, np.array([float(np.ravel(t)[idx0])]),
                                     quad_points=128)[:, 0]
     err = np.abs(u0_pred - u0_true[:, None]).max()
     assert err < 5e-4, f"IRK map defect {err}"
