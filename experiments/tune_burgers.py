@@ -183,7 +183,8 @@ def run_probe(name: str, seed: int = 1234) -> dict:
         # Two-arm prediction averaging (P14): run each arm's full
         # recipe and average the grid predictions — uniform and
         # 1/val_residual-weighted (no test data in the weights).
-        import numpy as np
+        # Combination math lives in the library (pinn.ensemble).
+        from pinn import ensemble as ens
         arms = []
         for arm in spec["avg_arms"]:
             r = _execute(arm, seed)
@@ -192,16 +193,10 @@ def run_probe(name: str, seed: int = 1234) -> dict:
                   f"(error {r['error']:.4e})", flush=True)
             arms.append((v, arm, r))
         u_star = arms[0][2]["data"].u_star
-
-        def rel_l2(u_pred):
-            return float(np.linalg.norm(u_star - u_pred, 2)
-                         / np.linalg.norm(u_star, 2))
-
-        uni = rel_l2(np.mean([r["u_pred"] for _, _, r in arms], axis=0))
-        wts = np.array([1.0 / v for v, _, _ in arms])
-        wts /= wts.sum()
-        wtd = rel_l2(np.sum([w * r["u_pred"]
-                             for w, (_, _, r) in zip(wts, arms)], axis=0))
+        preds = [r["u_pred"] for _, _, r in arms]
+        uni = ens.rel_l2(u_star, ens.average_predictions(preds))
+        wts = ens.inverse_metric_weights([v for v, _, _ in arms])
+        wtd = ens.rel_l2(u_star, ens.average_predictions(preds, wts))
         print(f"  avg: uniform {uni:.4e}  weighted {wtd:.4e}", flush=True)
         return {"probe": name, "seed": seed, "error": uni,
                 "error_uniform": uni, "error_weighted": wtd,
@@ -253,8 +248,9 @@ def _execute(name: str, seed: int):
         # Prediction ensembling (VERDICT round-2 item #2, plan b): run
         # the full recipe per member (init_seed varied, same train
         # data), average the grid predictions — uniformly and weighted
-        # by 1/val_metric (no test data in the weights).
-        import numpy as np
+        # by 1/val_metric (no test data in the weights).  Combination
+        # math lives in the library (pinn.ensemble).
+        from pinn import ensemble as ens
         members = []
         for j in range(spec["ensemble"]):
             r = _run_stages(stages, seed, init_seed=seed + 7919 * j)
@@ -263,16 +259,10 @@ def _execute(name: str, seed: int):
                   f"(error {r['error']:.4e})", flush=True)
             members.append((m, r))
         u_star = members[0][1]["data"].u_star
-
-        def rel_l2(u_pred):
-            return float(np.linalg.norm(u_star - u_pred, 2)
-                         / np.linalg.norm(u_star, 2))
-
-        uni = rel_l2(np.mean([r["u_pred"] for _, r in members], axis=0))
-        wts = np.array([1.0 / m for m, _ in members])
-        wts /= wts.sum()
-        wtd = rel_l2(np.sum([w * r["u_pred"]
-                             for w, (_, r) in zip(wts, members)], axis=0))
+        preds = [r["u_pred"] for _, r in members]
+        uni = ens.rel_l2(u_star, ens.average_predictions(preds))
+        wts = ens.inverse_metric_weights([m for m, _ in members])
+        wtd = ens.rel_l2(u_star, ens.average_predictions(preds, wts))
         print(f"  ensemble: uniform {uni:.4e}  weighted {wtd:.4e}",
               flush=True)
         return {"probe": name, "seed": seed, "error": min(uni, wtd),
