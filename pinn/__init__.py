@@ -23,7 +23,7 @@ Design notes (vs. the TF2 reference):
   collectives; there is no hand-written communication layer.
 """
 
-from pinn import data, dtypes, ensemble, irk, optim, parallel, problems
+from pinn import data, dtypes, ensemble, export, irk, optim, parallel, problems
 from pinn.api import PhysicsInformedNN
 from pinn.ensemble import EnsemblePINN
 from pinn.dtypes import default_dtype, set_default_dtype

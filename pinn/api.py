@@ -137,6 +137,18 @@ class PhysicsInformedNN:
         reference base class)."""
         return []
 
+    def export_serving(self, path: str, dtype=None,
+                       platforms=("cpu", "tpu")) -> str:
+        """Serialize the trained network to a self-contained,
+        batch-polymorphic serving artifact (see :mod:`pinn.export`).
+        Returns the written path; reload with ``pinn.export.load``.
+        """
+        from pinn import export as pexport
+        exported = pexport.export_predict(self.net_params(self.params),
+                                          self.lb, self.ub, dtype=dtype,
+                                          platforms=platforms)
+        return pexport.save(path, exported)
+
     def summary(self) -> str:
         n = pcodec.num_params(self.params)
         lines = [f"PhysicsInformedNN {self.layers} "
