@@ -78,3 +78,19 @@ def test_custom_pde_example_e2e():
     r = custom_pde_example.run(
         {"tf_epochs": 100, "nt_epochs": 300, "log_frequency": 10 ** 6})
     assert r["error"] < 7e-3, r["error"]  # observed 0.0035
+
+
+def test_serving_example_e2e(tmp_path):
+    """The deployment example (train members -> weighted ensemble ->
+    one exported artifact -> reload and serve) runs end-to-end at a
+    smoke schedule; the script itself asserts served == in-process."""
+    import serving_example
+    r = serving_example.run(
+        {"members": 2, "N_f": 2000, "tf_epochs": 60, "nt_epochs": 60,
+         "log_frequency": 10 ** 6,
+         "artifact": str(tmp_path / "burgers_ens")})
+    assert len(r["member_errors"]) == 2
+    assert r["weights"].sum() == pytest.approx(1.0)
+    assert r["artifact"].endswith(".jaxexp")
+    # Smoke schedule: only sanity-bound the error (member errors ~0.5).
+    assert r["error"] <= max(r["member_errors"]) + 1e-9
