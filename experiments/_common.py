@@ -75,5 +75,5 @@ def maybe_save_params(hp, params):
     path = hp.get("save_checkpoint")
     if path:
         from pinn.utils import checkpoint
-        checkpoint.save_npz(path, params, hp=hp)
+        checkpoint.save_npz_atomic(path, params, hp=hp)
         print(f"Saved checkpoint to {path}")

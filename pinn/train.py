@@ -111,6 +111,19 @@ class Trainer:
         self.tf_epochs = hp.get("tf_epochs", 0)
         self.nt_config = lbfgs_config_from_hp(hp)
         self.frequency = hp.get("log_frequency", 10)
+        # Fault tolerance: hp["save_every"] (epochs) + hp["save_checkpoint"]
+        # (path) make the Trainer persist the current iterate at that
+        # cadence via an atomic write (pinn.utils.checkpoint
+        # .save_npz_atomic).  On a crash, restarting the run with
+        # hp["init_checkpoint"] pointing at the same file warm-resumes
+        # from the last save; optimizer state is rebuilt at the saved
+        # iterate — the same semantics the resample refresh already uses
+        # for L-BFGS (the reference persists nothing, SURVEY.md §5).
+        self.save_every = int(hp.get("save_every", 0) or 0)
+        self.save_path = hp.get("save_checkpoint")
+        if self.save_every and not self.save_path:
+            raise ValueError("hp['save_every'] requires hp['save_checkpoint'] "
+                             "(the path periodic saves write to)")
         self.adam = AdamRunner(loss_fn, hp) if self.tf_epochs > 0 else None
         self.last_lbfgs_state: Optional[lb.LbfgsState] = None
 
@@ -134,6 +147,21 @@ class Trainer:
         lines.append(f"  total parameters: {total}")
         return "\n".join(lines)
 
+    def _maybe_save(self, phase: str, phase_done: int) -> None:
+        """Periodic checkpoint at a ``save_every`` boundary.  ``epoch``
+        in the metadata is global (Adam epochs count first, then
+        L-BFGS iterations), so a resume driver can compute the
+        remaining schedule."""
+        if not (self.save_every and phase_done % self.save_every == 0
+                and phase_done):
+            return
+        from pinn.utils import checkpoint
+        epoch = phase_done + (self.tf_epochs if phase == "lbfgs" else 0)
+        checkpoint.save_npz_atomic(
+            self.save_path, self.params,
+            extra={"phase": phase, "epoch": int(epoch),
+                   "phase_epoch": int(phase_done)})
+
     def _resample(self, round_idx: int) -> None:
         batch = self.resample_fn(round_idx)
         if self.mesh is not None:
@@ -155,6 +183,8 @@ class Trainer:
                         self.frequency - (done % self.frequency))
             if every:
                 chunk = min(chunk, every - (done % every))
+            if self.save_every:
+                chunk = min(chunk, self.save_every - (done % self.save_every))
             self.params, opt_state, losses = self.adam.run(
                 self.params, opt_state, self.batch, chunk)
             # losses[0] is the loss at epoch `done` (pre-update), i.e.
@@ -163,6 +193,7 @@ class Trainer:
                 self._log("log_train_epoch", done, float(losses[0]),
                           self._extra(), False)
             done += chunk
+            self._maybe_save("adam", done)
 
     def _lbfgs_phase(self):
         if self.nt_config.max_iter == 0:
@@ -231,9 +262,12 @@ class Trainer:
                         self.frequency - (done % self.frequency))
             if every:
                 chunk = min(chunk, every - (done % every))
+            if self.save_every:
+                chunk = min(chunk, self.save_every - (done % self.save_every))
             state, f_hist = run(state, self.batch, chunk)
             done += chunk
             self.params = to_params(state.x)
+            self._maybe_save("lbfgs", done)
             if done % self.frequency == 0:
                 self._log("log_train_epoch", done, float(f_hist[-1]),
                           self._extra(), True)

@@ -15,6 +15,7 @@ checkpointing on top of the same flat-vector layout:
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -55,6 +56,27 @@ def load_npz(path: str, like: Any = None) -> Tuple[Any, dict]:
         out.append(flat[off:off + size].reshape(shape))
         off += size
     return out, meta
+
+
+def save_npz_atomic(path: str, params: Any, hp: Optional[dict] = None,
+                    extra: Optional[dict] = None) -> str:
+    """Crash-safe ``save_npz``: write to a sibling temp file, then
+    ``os.replace`` into place, so a process killed mid-write never
+    leaves a truncated checkpoint behind.  This is what the Trainer's
+    periodic saves (hp["save_every"]) use.  Returns the final path
+    (``.npz`` appended if missing, matching ``np.savez`` behavior)."""
+    final = path if path.endswith(".npz") else path + ".npz"
+    tmp = final + ".tmp.npz"
+    save_npz(tmp, params, hp=hp, extra=extra)
+    os.replace(tmp, final)
+    return final
+
+
+def resume_meta(path: str) -> dict:
+    """The ``extra`` metadata of a checkpoint (phase/epoch for periodic
+    Trainer saves) without touching the weights."""
+    d = np.load(path, allow_pickle=False)
+    return json.loads(str(d["meta"])).get("extra", {})
 
 
 def save_orbax(path: str, params: Any) -> None:

@@ -105,6 +105,43 @@ def test_tf_net_dtype_bf16_keeps_f32_masters_and_descends():
     assert float(loss_fn(p, batch)) < f0
 
 
+def test_save_every_periodic_checkpoint_and_resume(tmp_path):
+    """hp["save_every"] persists the live iterate atomically at that
+    cadence; a warm restart from the file keeps descending (fault
+    tolerance — the reference persists nothing, SURVEY.md §5)."""
+    from pinn.utils import checkpoint
+    params, batch, loss_fn = _quad_setup()
+    ck = str(tmp_path / "periodic.npz")
+    hp = {"tf_epochs": 8, "nt_epochs": 12, "tf_lr": 0.01,
+          "save_every": 5, "save_checkpoint": ck,
+          "nt_line_search": "wolfe", "log_frequency": 100}
+    Trainer(loss_fn, params, batch, hp).fit()
+    assert os.path.exists(ck) and not os.path.exists(ck + ".tmp.npz")
+    meta = checkpoint.resume_meta(ck)
+    # Adam saves at 5; L-BFGS at 5 and 10 (global 13/18) unless it
+    # stopped early on this tiny problem.
+    assert meta["phase"] in ("adam", "lbfgs")
+    assert meta["phase_epoch"] % 5 == 0 and meta["phase_epoch"] > 0
+    if meta["phase"] == "lbfgs":
+        assert meta["epoch"] == 8 + meta["phase_epoch"]
+    loaded, _ = checkpoint.load_npz(ck, like=params)
+    f_ck = float(loss_fn(loaded, batch))
+    assert np.isfinite(f_ck) and f_ck < float(loss_fn(params, batch))
+    # Warm-resume from the periodic save: training continues down.
+    p2 = Trainer(loss_fn, loaded, batch,
+                 {"tf_epochs": 0, "nt_epochs": 10,
+                  "nt_line_search": "wolfe", "log_frequency": 100}).fit()
+    assert float(loss_fn(p2, batch)) <= f_ck
+
+
+def test_save_every_requires_path():
+    params, batch, loss_fn = _quad_setup()
+    import pytest
+    with pytest.raises(ValueError, match="save_checkpoint"):
+        Trainer(loss_fn, params, batch,
+                {"tf_epochs": 2, "nt_epochs": 0, "save_every": 1})
+
+
 def test_load_burgers_npy_triple(tmp_path):
     """Reference .npy triple loads through the same entry point
     (reference datagen/1d-burgers/datagen_old.py:7-16)."""
