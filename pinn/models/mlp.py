@@ -51,7 +51,11 @@ def init_mlp(key: jax.Array, layers: Sequence[int], dtype=None) -> Params:
     # Init runs on the CPU backend: bit-identical weights across
     # platforms, and the TPU x64 rewriter lacks the `nextafter` op that
     # f64 truncated_normal lowers to.
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: under a multi-controller runtime
+    # (pinn.parallel.distributed) jax.devices() is global and [0] may
+    # belong to another process — init must run on an addressable
+    # device (caught by tests/test_distributed.py).
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         for k, fan_in, fan_out in zip(keys, layers[:-1], layers[1:]):
             std = jnp.sqrt(2.0 / (fan_in + fan_out)).astype(dtype)
