@@ -1,0 +1,167 @@
+"""Discrete-time Allen–Cahn inference with q-stage IRK time stepping.
+
+Beyond-reference model family: pierremtb/PINNs-TF2.0 ships only the
+Burgers and Schrödinger experiments; this adds the original PINNs
+paper's other discrete-time flagship on the same machinery —
+
+    u_t - 0.0001 u_xx + 5 u^3 - 5 u = 0,  x in [-1, 1) periodic,
+
+one q=100-stage Gauss–Legendre IRK step from the t=0.1 snapshot to
+t=0.9 (dt = 0.8), [1, 200x4, q+1] net, N_n=200 sample points, loss =
+SSE(t0 data) + SSE(periodic value gap) + SSE(periodic derivative gap).
+Everything reuses the framework's generic parts: the IRK tableau
+generator (pinn/irk.py), the Taylor-mode stage derivatives
+(pinn/models/mlp.py), the Adam→L-BFGS trainer, and the discrete-mode
+figure builder.  The dataset is generated on first use by the bundled
+ETDRK4 spectral solver (datagen/allencahn_exact.py) — the upstream
+AC.mat is not shipped anywhere in the reference.
+
+Usage: ``python experiments/inf_disc_allencahn.py [hp.json]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import NamedTuple
+
+from _common import (setup, resolve_dtype, maybe_load_params,  # noqa: F401
+                     maybe_save_params, validate, _REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn import irk
+from pinn.models import mlp
+from pinn.problems import allencahn
+from pinn.train import Trainer
+from pinn.utils import Logger, load_hp
+
+DEFAULT_HP = {
+    "N_n": 200,
+    "q": 100,
+    "layers": [1, 200, 200, 200, 200, 101],
+    "tf_epochs": 1000,
+    "tf_lr": 0.001,
+    "tf_b1": 0.9,
+    "tf_eps": 1e-8,
+    "nt_epochs": 10000,
+    "nt_lr": 0.8,
+    "nt_ncorr": 50,
+    "nt_line_search": "armijo",
+    "log_frequency": 10,
+}
+
+IDX_T_0 = 20   # t = 0.1
+IDX_T_1 = 180  # t = 0.9
+
+
+class AllenCahnDisc(NamedTuple):
+    x_0: np.ndarray        # (N_n, 1) sample locations at t0
+    u_0: np.ndarray        # (N_n, 1) snapshot values (+ optional noise)
+    x_bnd: np.ndarray      # (2, 1) periodic boundary pair [lb; ub]
+    dt: float
+    IRK_weights: np.ndarray  # (q+1, q)
+    x_star: np.ndarray     # (nx, 1) full grid
+    u_star: np.ndarray     # (nx,) exact t1 snapshot
+    Exact_u: np.ndarray    # (nx, nt)
+    x: np.ndarray          # (nx, 1)
+    t: np.ndarray          # (nt, 1)
+
+
+def load_dataset() -> dict:
+    path = os.path.join(_REPO, "data", "AC.npz")
+    if os.path.exists(path):
+        return dict(np.load(path))
+    from datagen.allencahn_exact import generate
+    return generate(path)
+
+
+def prep_data(N_n: int, q: int, idx_t_0: int = IDX_T_0,
+              idx_t_1: int = IDX_T_1, noise: float = 0.0) -> AllenCahnDisc:
+    d = load_dataset()
+    x = d["x"].flatten()[:, None]
+    t = d["tt"].flatten()[:, None]
+    Exact = d["uu"]
+    dt = float(t[idx_t_1] - t[idx_t_0])
+
+    idx_x = np.random.choice(Exact.shape[0], N_n, replace=False)
+    x_0 = x[idx_x, :]
+    u_0 = Exact[idx_x, idx_t_0][:, None]
+    if noise > 0.0:
+        u_0 = u_0 + noise * np.std(u_0) * np.random.randn(*u_0.shape)
+
+    weights, _ = irk.irk_weights(q)
+    return AllenCahnDisc(x_0=x_0, u_0=u_0,
+                         x_bnd=np.array([[-1.0], [1.0]]),
+                         dt=dt, IRK_weights=weights,
+                         x_star=x, u_star=Exact[:, idx_t_1],
+                         Exact_u=Exact, x=x, t=t)
+
+
+def run(hp=None, plot=False, save_path=None):
+    hp = {**DEFAULT_HP, **(hp or {})}
+    key = setup(hp.get("seed", 1234))
+    validate(hp)
+    if hp.get("tpu_mesh"):
+        # Same decision as the other discrete experiments: N <= 200
+        # points with SSE losses sits far under the sharding crossover
+        # (PARITY.md S2.5); the q-stage coupling is a local MXU matmul.
+        raise ValueError("tpu_mesh is not supported by this experiment "
+                         "(tiny point sets; see PARITY.md S2.5)")
+    hp["layers"] = list(hp["layers"])
+    hp["layers"][-1] = hp["q"] + 1
+    dtype = resolve_dtype(hp)
+
+    lb = np.array([-1.0])
+    ub = np.array([1.0])
+    data = prep_data(hp["N_n"], hp["q"], noise=hp.get("noise", 0.0))
+    lbj = jnp.asarray(lb, dtype)
+    ubj = jnp.asarray(ub, dtype)
+    irk_w = jnp.asarray(data.IRK_weights, dtype)
+    batch = {"x_0": jnp.asarray(data.x_0, dtype),
+             "u_0": jnp.asarray(data.u_0, dtype),
+             "x_bnd": jnp.asarray(data.x_bnd, dtype)}
+
+    net = mlp.init_mlp(key, hp["layers"], dtype)
+    net = maybe_load_params(hp, net)
+
+    def loss_fn(p, b):
+        return allencahn.loss_disc_inference(
+            p, b["x_0"], b["u_0"], b["x_bnd"], lbj, ubj, data.dt, irk_w)
+
+    predict_u1 = jax.jit(
+        lambda p, x: allencahn.predict_u1(p, x, lbj, ubj))
+
+    logger = Logger(hp)
+    trainer = Trainer(loss_fn, net, batch, hp, logger)
+    x_star = jnp.asarray(data.x_star, dtype)
+
+    def error():
+        u_pred = np.asarray(predict_u1(trainer.params, x_star))
+        return float(np.linalg.norm(u_pred - data.u_star, 2)
+                     / np.linalg.norm(data.u_star, 2))
+
+    logger.set_error_fn(error)
+    params = trainer.fit()
+    maybe_save_params(hp, params)
+    u_1_pred = np.asarray(predict_u1(params, x_star))
+    rel_l2 = error()
+
+    if plot:
+        from viz import plot_inf_disc_results
+        # The shared disc builder wants Exact_u time-major (Nt, Nx).
+        plot_inf_disc_results(data.x_star, IDX_T_0, IDX_T_1, data.x_0,
+                              data.u_0, ub, lb, u_1_pred, data.Exact_u.T,
+                              data.x, data.t,
+                              save_path=save_path or "experiments",
+                              save_hp=hp)
+    return {"params": params, "u_1_pred": u_1_pred, "error": rel_l2,
+            "data": data, "hp": hp}
+
+
+if __name__ == "__main__":
+    hp = load_hp(sys.argv, DEFAULT_HP)
+    result = run(hp, plot=True)
+    print(f"rel-L2 error (t1 snapshot): {result['error']:.4e}")

@@ -1,0 +1,149 @@
+"""Allen–Cahn (beyond-reference model family) tests.
+
+Three layers, mirroring the Burgers discrete-mode strategy
+(SURVEY.md §4): the spectral dataset generator is validated by
+self-convergence and a structural invariant (monotone Ginzburg–Landau
+energy decay — Allen–Cahn is its L2 gradient flow); the stage
+derivative / IRK map / periodic-BC pieces are checked against
+``jax.jacfwd`` oracles on tiny nets; and a tiny end-to-end run must
+optimize.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn import irk
+from pinn.models import mlp
+from pinn.problems import allencahn
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "experiments"))
+
+from datagen.allencahn_exact import (allencahn_etdrk4,  # noqa: E402
+                                     ginzburg_landau_energy)
+
+
+# ---------------------------------------------------------------------------
+# Dataset generator
+# ---------------------------------------------------------------------------
+
+def test_etdrk4_ic_and_range():
+    d = allencahn_etdrk4(nx=128, nt=6, substeps=2)
+    x = d["x"].flatten()
+    np.testing.assert_allclose(d["uu"][:, 0], x ** 2 * np.cos(np.pi * x),
+                               atol=1e-14)
+    # Phase separation keeps |u| <= ~1 (maximum principle up to O(dt)).
+    assert np.abs(d["uu"]).max() < 1.0 + 1e-6
+
+
+def test_etdrk4_fourth_order_dt_convergence():
+    ref = allencahn_etdrk4(nx=128, nt=6, substeps=16)["uu"][:, -1]
+    e2 = np.abs(allencahn_etdrk4(nx=128, nt=6, substeps=2)["uu"][:, -1]
+                - ref).max()
+    e4 = np.abs(allencahn_etdrk4(nx=128, nt=6, substeps=4)["uu"][:, -1]
+                - ref).max()
+    e8 = np.abs(allencahn_etdrk4(nx=128, nt=6, substeps=8)["uu"][:, -1]
+                - ref).max()
+    # 4th order = /16 per halving; measured ~21-26x. Allow slack to /8.
+    assert e4 < e2 / 8.0
+    assert e8 < e4 / 8.0
+    assert e8 < 1e-4
+
+
+def test_etdrk4_energy_decay():
+    d = allencahn_etdrk4(nx=256, nt=21, substeps=2)
+    E = [ginzburg_landau_energy(d["uu"][:, j]) for j in range(21)]
+    assert all(E[j + 1] <= E[j] + 1e-12 for j in range(20))
+    assert E[-1] < E[0]
+
+
+# ---------------------------------------------------------------------------
+# Stage map / loss oracles
+# ---------------------------------------------------------------------------
+
+def _second_deriv_oracle(params, x, lb, ub):
+    """(U, U_x, U_xx) of the (q+1)-output net via nested jacfwd."""
+    def scalar_net(xs):
+        return mlp.apply(params, xs[None, None], lb, ub)[0]
+
+    U = mlp.apply(params, x, lb, ub)
+    U_x = jax.vmap(jax.jacfwd(scalar_net))(x[:, 0])
+    U_xx = jax.vmap(jax.jacfwd(jax.jacfwd(scalar_net)))(x[:, 0])
+    return U, U_x, U_xx
+
+
+def test_u0_map_matches_jacfwd_oracle():
+    q = 3
+    key = jax.random.PRNGKey(0)
+    params = mlp.init_mlp(key, [1, 8, q + 1], jnp.float64)
+    lb, ub = jnp.array([-1.0]), jnp.array([1.0])
+    x = jnp.asarray(np.random.RandomState(1).uniform(-1, 1, (7, 1)))
+    W, _ = irk.irk_weights(q)
+    W = jnp.asarray(W, jnp.float64)
+    dt = 0.8
+
+    got = allencahn.u0_pred_disc_inference(params, x, lb, ub, dt, W)
+
+    U1, _, U1_xx = _second_deriv_oracle(params, x, lb, ub)
+    U, U_xx = U1[:, :-1], U1_xx[:, :-1]
+    F = 5.0 * (U ** 3 - U) - 1e-4 * U_xx
+    expected = U1 + dt * F @ W.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_periodic_bc_terms_match_oracle():
+    q = 4
+    params = mlp.init_mlp(jax.random.PRNGKey(3), [1, 6, q + 1], jnp.float64)
+    lb, ub = jnp.array([-1.0]), jnp.array([1.0])
+    x_bnd = jnp.array([[-1.0], [1.0]])
+
+    gap_u, gap_ux = allencahn.periodic_bc_terms(params, x_bnd, lb, ub)
+
+    U, U_x, _ = _second_deriv_oracle(params, x_bnd, lb, ub)
+    np.testing.assert_allclose(np.asarray(gap_u),
+                               np.asarray(U[0] - U[1]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gap_ux),
+                               np.asarray(U_x[0] - U_x[1]),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_loss_zero_for_consistent_targets():
+    """If u_0 is set to the net's own IRK image and the net is exactly
+    periodic across the boundary pair, the loss must vanish."""
+    q = 2
+    params = mlp.init_mlp(jax.random.PRNGKey(5), [1, 5, q + 1], jnp.float64)
+    lb, ub = jnp.array([-1.0]), jnp.array([1.0])
+    x = jnp.asarray(np.random.RandomState(2).uniform(-1, 1, (5, 1)))
+    W = jnp.asarray(irk.irk_weights(q)[0], jnp.float64)
+    u0 = allencahn.u0_pred_disc_inference(params, x, lb, ub, 0.8, W)
+    # Periodic gap is generally nonzero for a random net, so measure the
+    # data term alone first:
+    loss = allencahn.loss_disc_inference(params, x, u0, jnp.array([[-1.0],
+                                                                   [1.0]]),
+                                         lb, ub, 0.8, W)
+    gap_u, gap_ux = allencahn.periodic_bc_terms(
+        params, jnp.array([[-1.0], [1.0]]), lb, ub)
+    expected_bc = float(jnp.sum(gap_u ** 2) + jnp.sum(gap_ux ** 2))
+    assert float(loss) == pytest.approx(expected_bc, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end (tiny schedule)
+# ---------------------------------------------------------------------------
+
+def test_e2e_allencahn_tiny():
+    import inf_disc_allencahn as ac
+    hp = {"tf_epochs": 15, "nt_epochs": 25, "q": 8,
+          "layers": [1, 16, 9], "N_n": 40, "nt_ncorr": 10,
+          "log_frequency": 1000, "dtype": "float64"}
+    r = ac.run(hp)
+    assert np.isfinite(r["error"])
+    # Tiny schedule: only assert real optimization happened.
+    assert r["error"] < 1.5
+    assert r["u_1_pred"].shape == (512,)
