@@ -55,7 +55,15 @@ CAMPAIGN = {
     "ide_disc_burgers": [
         {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
          "log_frequency": 1000}],
+    # Beyond-reference family (not part of the five parity recipes —
+    # excluded from the default name list below).
+    "inf_disc_allencahn": [
+        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
+         "log_frequency": 1000}],
 }
+
+# The reference-parity campaign (default when no names are given).
+PARITY_NAMES = [n for n in CAMPAIGN if n != "inf_disc_allencahn"]
 
 QUICK_OVERRIDES = {"tf_epochs": 50, "nt_epochs": 200, "log_frequency": 50}
 
@@ -137,7 +145,7 @@ def main():
     quick = "--quick" in sys.argv
     f32 = "--f32" in sys.argv
     verify = "--verify" in sys.argv
-    names = args or list(CAMPAIGN)
+    names = args or PARITY_NAMES
     rows, failures = [], []
     for name in names:
         print(f"=== {name} ===", flush=True)
@@ -150,7 +158,11 @@ def main():
         print(json.dumps(row), flush=True)
         rows.append(row)
         if verify:
-            budget = BUDGETS[name]
+            budget = BUDGETS.get(name)
+            if budget is None:
+                print(f"VERIFY SKIPPED {name}: no budget recorded yet",
+                      flush=True)
+                continue
             ok = row["error"] <= budget
             print(f"VERIFY {'OK' if ok else 'REGRESSED'} {name}: "
                   f"{row['error']:.4e} vs budget {budget:.1e}", flush=True)
