@@ -28,8 +28,10 @@ import run_campaign  # noqa: E402
 
 @pytest.mark.parametrize("name", list(run_campaign.CAMPAIGN))
 def test_campaign_recipe_hits_headline_error(name):
+    budget = run_campaign.BUDGETS.get(name)
+    if budget is None:
+        pytest.skip(f"{name}: no recorded budget yet (new recipe)")
     row = run_campaign.run_one(name, quick=False, f32=False)
-    budget = run_campaign.BUDGETS[name]
     assert row["error"] <= budget, (
         f"{name} campaign recipe regressed: error {row['error']:.4e} "
         f"(budget {budget:.1e}, ~1.5x the RESULTS.md headline)")
