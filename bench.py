@@ -36,12 +36,13 @@ save the run.  bench.py therefore runs as a SUPERVISOR by default: it
 prints a provisional record immediately (cached constants, marked
 ``"provisional": true``), spawns the real benchmark as a child process
 (env ``BENCH_CHILD=1``), and enforces an attach budget
-(``BENCH_ATTACH_BUDGET_S``, default 600s — the child touches a
-sentinel file after its first device op) plus a total cap.  If the
-child wedges or dies, the supervisor re-prints the child's last
-recorded line (side-channel file) or the fallback constants, and exits
-0.  Consumers take the LAST JSON line, so a healthy run ends with the
-measured record and a wedged run still parses.
+(``BENCH_ATTACH_BUDGET_S``, default 420s — the child touches a
+sentinel file after its first device op; normal attach is <= ~7 min)
+plus a total cap.  If the child wedges or dies, the supervisor prints
+the child's last recorded line (side-channel file) or the fallback
+constants, and exits 0.  A healthy run prints ONLY measured records
+(the supervisor stays silent on stdout), so the output parses
+correctly whether consumers take the first or the last JSON line.
 """
 
 from __future__ import annotations
@@ -63,7 +64,7 @@ BASELINE_RECORDED = 2.425
 
 START = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "400"))
-ATTACH_BUDGET_S = float(os.environ.get("BENCH_ATTACH_BUDGET_S", "600"))
+ATTACH_BUDGET_S = float(os.environ.get("BENCH_ATTACH_BUDGET_S", "420"))
 
 # Last full validated TPU measurement (ROUND3.md end-of-round run):
 # used only for the provisional/fallback records when the chip is
@@ -119,9 +120,9 @@ def supervise() -> int:
     import subprocess
     import tempfile
 
-    provisional = fallback_record("provisional")
-    provisional["provisional"] = True
-    print(json.dumps(provisional), flush=True)
+    log("bench supervisor: starting child "
+        f"(attach budget {ATTACH_BUDGET_S:.0f}s, work budget "
+        f"{BUDGET_S:.0f}s)")
 
     fd, sentinel = tempfile.mkstemp(prefix="bench_attach_")
     os.close(fd)

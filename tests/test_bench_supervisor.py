@@ -29,26 +29,17 @@ def _run_bench(env_extra, timeout=120):
 
 def test_wedged_attach_still_emits_parseable_record():
     # Attach budget too short for the child to even finish importing
-    # jax — simulates the indefinitely-blocked libtpu attach.
+    # jax — simulates the indefinitely-blocked libtpu attach.  The
+    # output must parse whether consumers take the first or last line.
     proc = _run_bench({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
                        "BENCH_ATTACH_BUDGET_S": "1"})
     assert proc.returncode == 0, proc.stderr[-500:]
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     assert lines, "no stdout at all"
-    first = json.loads(lines[0])
-    assert first.get("provisional") is True
-    last = json.loads(lines[-1])
-    assert last["metric"] == "burgers_train_steps_per_sec"
-    assert last["value"] > 0
-    assert "fallback" in last
-    assert last["vs_baseline"] > 0
-
-
-def test_provisional_record_is_first_and_immediate():
-    # Even in a healthy run the first line must parse on its own; use
-    # the wedge config again (fast) and only inspect line 1 semantics.
-    proc = _run_bench({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
-                       "BENCH_ATTACH_BUDGET_S": "1"})
-    first = json.loads(proc.stdout.splitlines()[0])
-    assert first["unit"] == "steps/s"
-    assert first["tf_eager_cpu_baseline_steps_per_sec"] > 0
+    for line in (lines[0], lines[-1]):
+        rec = json.loads(line)
+        assert rec["metric"] == "burgers_train_steps_per_sec"
+        assert rec["value"] > 0
+        assert "fallback" in rec
+        assert rec["vs_baseline"] > 0
+        assert rec["unit"] == "steps/s"
