@@ -62,6 +62,61 @@ def test_etdrk4_energy_decay():
     assert E[-1] < E[0]
 
 
+def test_irk_map_reproduces_u0_on_exact_stage_values():
+    """Training-free end-to-end check of the discrete-time contract:
+    plug the EXACT solution at the Gauss stage times into the backward
+    IRK map U0 = [U; u1] + dt*F@W^T (F = 5U^3-5U-1e-4*U_xx, spectral
+    U_xx) — every column must reproduce u(t0) to quadrature precision.
+    Validates the tableau, the sign conventions, and the dataset
+    conventions together; a flipped sign or transposed W fails at O(1).
+    """
+    from datagen.allencahn_exact import _etdrk4_coeffs
+
+    nx, q, t0, dt = 128, 8, 0.1, 0.1
+    x = -1.0 + 2.0 * np.arange(nx) / nx
+    k = 2.0 * np.pi * np.fft.fftfreq(nx, d=2.0 / nx)
+    Lk = -1e-4 * k ** 2 + 5.0
+
+    def N(vhat):
+        return -5.0 * np.fft.fft(np.fft.ifft(vhat).real ** 3)
+
+    def integrate(u, t_span, n_steps):
+        v = np.fft.fft(u)
+        h = t_span / n_steps
+        E, E2, Q, f1, f2, f3 = _etdrk4_coeffs(Lk, h)
+        for _ in range(n_steps):
+            Nv = N(v)
+            a = E2 * v + Q * Nv
+            Na = N(a)
+            b = E2 * v + Q * Na
+            Nb = N(b)
+            c = E2 * a + Q * (2.0 * Nb - Nv)
+            Nc = N(c)
+            v = E * v + f1 * Nv + 2.0 * f2 * (Na + Nb) + f3 * Nc
+        return np.fft.ifft(v).real
+
+    tab_W, c_nodes = irk.irk_weights(q)
+    u_t0 = integrate(x ** 2 * np.cos(np.pi * x), t0, 200)
+    # March through the (sorted) stage times collecting exact values.
+    times = np.concatenate([c_nodes * dt, [dt]])
+    order = np.argsort(times)
+    U_cols = np.empty((nx, q + 1))
+    u, t_prev = u_t0, 0.0
+    for idx in order:
+        u = integrate(u, times[idx] - t_prev, 50)
+        t_prev = times[idx]
+        U_cols[:, idx] = u
+
+    U, u1 = U_cols[:, :q], U_cols[:, q:]
+    U_xx = np.stack([np.fft.ifft(-(k ** 2) * np.fft.fft(U[:, j])).real
+                     for j in range(q)], axis=1)
+    F = 5.0 * (U ** 3 - U) - 1e-4 * U_xx
+    U0_pred = np.concatenate([U, u1], axis=1) + dt * F @ tab_W.T
+
+    defect = np.abs(U0_pred - u_t0[:, None]).max()
+    assert defect < 1e-7, f"IRK map defect {defect:.2e}"
+
+
 # ---------------------------------------------------------------------------
 # Stage map / loss oracles
 # ---------------------------------------------------------------------------
