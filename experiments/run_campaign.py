@@ -56,10 +56,12 @@ CAMPAIGN = {
         {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
          "log_frequency": 1000}],
     # Beyond-reference family (not part of the five parity recipes —
-    # excluded from the default name list below).
+    # excluded from the default name list below).  Measured 3.34e-3
+    # rel-L2 at this schedule (RESULTS.md; the paper's discrete AC
+    # result is ~6.99e-3); 10k iters stops early at 1.56e-2.
     "inf_disc_allencahn": [
-        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
-         "log_frequency": 1000}],
+        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 40000,
+         "log_frequency": 2000}],
 }
 
 # The reference-parity campaign (default when no names are given).
@@ -78,6 +80,7 @@ BUDGETS = {
     "inf_disc_burgers": 1.6e-3,     # headline 1.06e-3
     "ide_cont_burgers": 6e-3,       # headline 3.79e-3
     "ide_disc_burgers": 1.6e-3,     # headline 1.06e-3
+    "inf_disc_allencahn": 5e-3,     # headline 3.34e-3 (beyond reference)
 }
 
 
