@@ -28,26 +28,32 @@ from __future__ import annotations
 import numpy as np
 
 
-def _etdrk4_coeffs(Lk: np.ndarray, dt: float, M: int = 32):
+def _etdrk4_coeffs(Lk: np.ndarray, dt: float, M: int = 32,
+                   real: bool = True):
     """E, E2, Q, f1, f2, f3 for ETDRK4 with diagonal linear part Lk.
 
     Contour-integral evaluation (Kassam & Trefethen 2005, SISC): mean of
     the phi-expressions over M points on a unit circle around each
     dt*Lk — removes the catastrophic cancellation of the closed forms
-    near dt*Lk = 0.  Lk is real here, so the means' real parts are exact.
+    near dt*Lk = 0.  For real Lk (``real=True``, e.g. Allen–Cahn's
+    diffusion+reaction) the means' real parts are exact; for complex Lk
+    (``real=False``, e.g. KdV's dispersive i*k^3) keep the full complex
+    means — the same contour argument applies point-wise.
     """
     E = np.exp(dt * Lk)
     E2 = np.exp(0.5 * dt * Lk)
     r = np.exp(1j * np.pi * (np.arange(1, M + 1) - 0.5) / M)
     LR = dt * Lk[:, None] + r[None, :]
     eLR = np.exp(LR)
-    Q = dt * np.mean((np.exp(LR / 2) - 1.0) / LR, axis=1).real
+    Q = dt * np.mean((np.exp(LR / 2) - 1.0) / LR, axis=1)
     f1 = dt * np.mean(
-        (-4.0 - LR + eLR * (4.0 - 3.0 * LR + LR ** 2)) / LR ** 3, axis=1).real
+        (-4.0 - LR + eLR * (4.0 - 3.0 * LR + LR ** 2)) / LR ** 3, axis=1)
     f2 = dt * np.mean(
-        (2.0 + LR + eLR * (-2.0 + LR)) / LR ** 3, axis=1).real
+        (2.0 + LR + eLR * (-2.0 + LR)) / LR ** 3, axis=1)
     f3 = dt * np.mean(
-        (-4.0 - 3.0 * LR - LR ** 2 + eLR * (4.0 - LR)) / LR ** 3, axis=1).real
+        (-4.0 - 3.0 * LR - LR ** 2 + eLR * (4.0 - LR)) / LR ** 3, axis=1)
+    if real:
+        Q, f1, f2, f3 = Q.real, f1.real, f2.real, f3.real
     return E, E2, Q, f1, f2, f3
 
 

@@ -107,13 +107,14 @@ def plot_inf_disc_results(x_star, idx_t_0, idx_t_1, x_0, u_0, ub, lb,
     plt.show()
 
 
-def _pde_table(ax, nu, l1, l2, l1_noisy, l2_noisy, sign="-"):
+def _pde_table(ax, nu, l1, l2, l1_noisy, l2_noisy, sign="-",
+               deriv="u_{xx}"):
     rows = [
-        ("Correct PDE", f"$u_t + u u_x {sign} {nu:.7f} u_{{xx}} = 0$"),
+        ("Correct PDE", f"$u_t + u u_x {sign} {nu:.7f} {deriv} = 0$"),
         ("Identified (clean)",
-         f"$u_t + {l1:.5f} u u_x {sign} {l2:.7f} u_{{xx}} = 0$"),
+         f"$u_t + {l1:.5f} u u_x {sign} {l2:.7f} {deriv} = 0$"),
         ("Identified (1% noise)",
-         f"$u_t + {l1_noisy:.5f} u u_x {sign} {l2_noisy:.7f} u_{{xx}} = 0$"),
+         f"$u_t + {l1_noisy:.5f} u u_x {sign} {l2_noisy:.7f} {deriv} = 0$"),
     ]
     ax.axis("off")
     for i, (name, eq) in enumerate(rows):
@@ -155,7 +156,8 @@ def plot_ide_cont_results(X_star, u_pred, X_u_train, u_train, Exact_u,
 
 def plot_ide_disc_results(x_star, t_star, idx_t_0, idx_t_1, x_0, u_0,
                           x_1, u_1, ub, lb, Exact, l1, l1_noisy, l2, l2_noisy,
-                          save_path=None, save_hp=None):
+                          save_path=None, save_hp=None,
+                          lambda2_star=0.0031831, deriv="u_{xx}"):
     fig, ax = newfig(1.0, 1.5)
     ax.axis("off")
 
@@ -180,8 +182,8 @@ def plot_ide_disc_results(x_star, t_star, idx_t_0, idx_t_1, x_0, u_0,
 
     gs2 = gridspec.GridSpec(1, 1)
     gs2.update(top=0.2, bottom=0.0, left=0.1, right=0.9)
-    _pde_table(fig.add_subplot(gs2[0, 0]), 0.0031831, l1, l2,
-               l1_noisy, l2_noisy, sign="+")
+    _pde_table(fig.add_subplot(gs2[0, 0]), lambda2_star, l1, l2,
+               l1_noisy, l2_noisy, sign="+", deriv=deriv)
 
     if save_path is not None:
         return save_result_dir(save_path, save_hp or {})

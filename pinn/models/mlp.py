@@ -91,12 +91,14 @@ class TaylorOut(NamedTuple):
     d1:    dH·v1                    (N, dout)  — e.g. u_x
     d11:   d²H[v1, v1]              (N, dout)  — e.g. u_xx (None if order<2)
     d2:    dH·v2                    (N, dout)  — e.g. u_t  (None if v2 absent)
+    d111:  d³H[v1, v1, v1]          (N, dout)  — e.g. u_xxx (None if order<3)
     """
 
     value: jnp.ndarray
     d1: jnp.ndarray
     d11: Optional[jnp.ndarray]
     d2: Optional[jnp.ndarray]
+    d111: Optional[jnp.ndarray] = None
 
 
 def taylor_apply(
@@ -112,8 +114,10 @@ def taylor_apply(
 
     ``v1``/``v2`` are direction vectors in *input* space, shape (din,).
     ``order=2`` also propagates the second directional derivative along
-    ``v1``.  Cost: (2 + order-1 + has_v2) matmuls per layer, all batched
-    on the MXU.
+    ``v1``; ``order=3`` additionally carries the third (Faà di Bruno
+    streams through tanh: a111 = tanh'''·z1³ + 3 tanh''·z1·z11 +
+    tanh'·z111 — needed for dispersive PDEs like KdV's u_xxx).  Cost:
+    (2 + order-1 + has_v2) matmuls per layer, all batched on the MXU.
 
     The first layer is special-cased: the tangent of the (affine)
     normalized input is the same constant row for every point, so its
@@ -136,7 +140,8 @@ def taylor_apply(
         return TaylorOut(
             value=z, d1=z1,
             d11=jnp.zeros_like(z) if order >= 2 else None,
-            d2=z2)
+            d2=z2,
+            d111=jnp.zeros_like(z) if order >= 3 else None)
 
     a = jnp.tanh(z)
     sp = 1.0 - a * a              # tanh'
@@ -146,6 +151,11 @@ def taylor_apply(
         a11 = spp * z1 * z1      # z11 of the first layer is exactly 0
     else:
         a11 = None
+    if order >= 3:
+        sppp = -2.0 * sp * (1.0 - 3.0 * a * a)   # tanh'''
+        a111 = sppp * z1 * z1 * z1               # z11 = z111 = 0 here
+    else:
+        a111 = None
     a2 = sp * z2 if z2 is not None else None
 
     # ---- remaining hidden layers ----
@@ -153,6 +163,7 @@ def taylor_apply(
         z = a @ w + b
         z1 = a1 @ w
         z11 = a11 @ w if order >= 2 else None
+        z111 = a111 @ w if order >= 3 else None
         z2 = a2 @ w if a2 is not None else None
         a = jnp.tanh(z)
         sp = 1.0 - a * a
@@ -160,6 +171,11 @@ def taylor_apply(
         if order >= 2:
             spp = -2.0 * a * sp
             a11 = spp * z1 * z1 + sp * z11
+        if order >= 3:
+            sppp = -2.0 * sp * (1.0 - 3.0 * a * a)
+            a111 = (sppp * z1 * z1 * z1
+                    + 3.0 * spp * z1 * z11
+                    + sp * z111)
         if z2 is not None:
             a2 = sp * z2
 
@@ -170,4 +186,5 @@ def taylor_apply(
         d1=a1 @ w,
         d11=(a11 @ w) if order >= 2 else None,
         d2=(a2 @ w) if a2 is not None else None,
+        d111=(a111 @ w) if order >= 3 else None,
     )

@@ -1,1 +1,1 @@
-from pinn.problems import burgers, schrodinger
+from pinn.problems import burgers, kdv, schrodinger
