@@ -62,10 +62,20 @@ CAMPAIGN = {
     "inf_disc_allencahn": [
         {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 40000,
          "log_frequency": 2000}],
+    # Beyond-reference family #2: KdV discrete identification (order-3
+    # Taylor stream).  Measured 2.56e-4 mean relative lambda error at
+    # this schedule (RESULTS.md; clean 0.030%/0.021% vs the paper's
+    # 0.023%/0.006%); L-BFGS self-stops at tolX around iter ~3.5k.
+    # Deliberately f32 (the experiment default): the same schedule in
+    # f64 measured WORSE (3.01e-4) and slower — the λ landscape is
+    # conditioned by the IRK coupling, not by dtype precision.
+    "ide_disc_kdv": [
+        {"tf_epochs": 200, "nt_epochs": 10000, "log_frequency": 1000}],
 }
 
 # The reference-parity campaign (default when no names are given).
-PARITY_NAMES = [n for n in CAMPAIGN if n != "inf_disc_allencahn"]
+_BEYOND_REFERENCE = ("inf_disc_allencahn", "ide_disc_kdv")
+PARITY_NAMES = [n for n in CAMPAIGN if n not in _BEYOND_REFERENCE]
 
 QUICK_OVERRIDES = {"tf_epochs": 50, "nt_epochs": 200, "log_frequency": 50}
 
@@ -81,6 +91,7 @@ BUDGETS = {
     "ide_cont_burgers": 6e-3,       # headline 3.79e-3
     "ide_disc_burgers": 1.6e-3,     # headline 1.06e-3
     "inf_disc_allencahn": 5e-3,     # headline 3.34e-3 (beyond reference)
+    "ide_disc_kdv": 5e-4,           # headline 2.56e-4 (beyond reference)
 }
 
 
