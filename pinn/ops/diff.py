@@ -45,6 +45,25 @@ def directional2(
     return value, d1, d11
 
 
+def directional3(
+    f: Callable, X: jnp.ndarray, v: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(f, df·v, d²f[v,v], d³f[v,v,v]) via jvp³ (forward-over-forward-
+    over-forward) — the oracle for ``taylor_apply(order=3)``'s
+    Faà-di-Bruno stream (dispersive terms like KdV's u_xxx)."""
+    tangent = _broadcast_tangent(X, v)
+
+    def first(x):
+        return jax.jvp(f, (x,), (tangent,))
+
+    def second(x):
+        return jax.jvp(first, (x,), (tangent,))
+
+    ((value, d1), (_, d11)), ((_, _), (_, d111)) = jax.jvp(
+        second, (X,), (tangent,))
+    return value, d1, d11, d111
+
+
 def space_time_derivs(
     f: Callable,
     X: jnp.ndarray,

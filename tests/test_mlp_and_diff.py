@@ -137,3 +137,28 @@ def test_outer_grad_through_taylor(rng):
     for (gw1, gb1), (gw2, gb2) in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-7, atol=1e-12)
         np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2), rtol=1e-7, atol=1e-12)
+
+
+def test_taylor_apply_order3_matches_jvp3_oracle(rng):
+    """taylor_apply(order=3)'s Faà-di-Bruno stream vs diff.directional3
+    (jvp-over-jvp-over-jvp) on a 1-D-input multi-output net — the KdV
+    u_xxx configuration."""
+    p = _net(rng, (1, 14, 10, 4))
+    lb, ub = jnp.array([-1.0]), jnp.array([1.0])
+    X = jnp.linspace(-0.9, 0.95, 23, dtype=jnp.float64)[:, None]
+    v = jnp.array([1.0], dtype=jnp.float64)
+
+    out = mlp.taylor_apply(p, X, lb, ub, v, order=3)
+
+    def f(x):
+        return mlp.apply(p, x, lb, ub)
+
+    value, d1, d11, d111 = diff.directional3(f, X, v)
+    np.testing.assert_allclose(np.asarray(out.value), np.asarray(value),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.d1), np.asarray(d1),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.d11), np.asarray(d11),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.d111), np.asarray(d111),
+                               rtol=1e-8)

@@ -119,6 +119,22 @@ def test_plot_ide_disc_results(tmp_path, grid):
     _assert_result_dir(res_dir)
 
 
+def test_plot_ide_disc_results_kdv_variant(tmp_path, grid):
+    # The dispersive-term variant used by experiments/ide_disc_kdv.py.
+    x, t, X, T, X_star, Exact_u, u_pred = grid
+    idx0, idx1 = 10, 90
+    Exact = Exact_u.T
+    x_0, u_0 = x[::2], Exact[::2, idx0][:, None]
+    x_1, u_1 = x[1::2], Exact[1::2, idx1][:, None]
+    res_dir = viz.plot_ide_disc_results(
+        x[:, 0], t[:, 0], idx0, idx1, x_0, u_0, x_1, u_1,
+        np.array([1.0]), np.array([-1.0]), Exact,
+        1.0003, 0.999, 0.0025, 0.0025,
+        save_path=str(tmp_path), save_hp={},
+        lambda2_star=0.0025, deriv="u_{xxx}")
+    _assert_result_dir(res_dir)
+
+
 def test_plot_schrodinger_results(tmp_path, grid):
     x, t, X, T, X_star, Exact_u, u_pred = grid
     Exact_h = np.abs(Exact_u).T + 1.0  # (NX, NT)
