@@ -36,13 +36,22 @@ def _etdrk4_coeffs(Lk: np.ndarray, dt: float, M: int = 32,
     the phi-expressions over M points on a unit circle around each
     dt*Lk — removes the catastrophic cancellation of the closed forms
     near dt*Lk = 0.  For real Lk (``real=True``, e.g. Allen–Cahn's
-    diffusion+reaction) the means' real parts are exact; for complex Lk
-    (``real=False``, e.g. KdV's dispersive i*k^3) keep the full complex
-    means — the same contour argument applies point-wise.
+    diffusion+reaction) a HALF-circle suffices: conjugate-symmetry makes
+    the real part of the half-circle mean equal the full-circle mean,
+    which is exact by the mean-value property.  For complex Lk
+    (``real=False``, e.g. KdV's dispersive i*k^3) that symmetry is
+    gone, so the contour must be the FULL circle of roots of unity —
+    only then does the point mean equal the Cauchy integral for an
+    arbitrary complex center.  (A half-circle here carries O(1e-2)
+    coefficient errors that happen to cancel for purely imaginary Lk
+    but would silently corrupt e.g. complex Ginzburg–Landau.)
     """
     E = np.exp(dt * Lk)
     E2 = np.exp(0.5 * dt * Lk)
-    r = np.exp(1j * np.pi * (np.arange(1, M + 1) - 0.5) / M)
+    if real:
+        r = np.exp(1j * np.pi * (np.arange(1, M + 1) - 0.5) / M)
+    else:
+        r = np.exp(2j * np.pi * (np.arange(1, M + 1) - 0.5) / M)
     LR = dt * Lk[:, None] + r[None, :]
     eLR = np.exp(LR)
     Q = dt * np.mean((np.exp(LR / 2) - 1.0) / LR, axis=1)

@@ -84,7 +84,7 @@ def prep_data(N_n: int, q: int, idx_t_0: int = IDX_T_0,
     x = d["x"].flatten()[:, None]
     t = d["tt"].flatten()[:, None]
     Exact = d["uu"]
-    dt = float(t[idx_t_1] - t[idx_t_0])
+    dt = float(t[idx_t_1, 0] - t[idx_t_0, 0])
 
     idx_x = np.random.choice(Exact.shape[0], N_n, replace=False)
     x_0 = x[idx_x, :]

@@ -23,6 +23,12 @@ import numpy as np  # noqa: E402
 GOLDEN_MEAN = (np.sqrt(5.0) - 1.0) / 2.0
 _TEXT_WIDTH_IN = 390.0 / 72.27  # LaTeX textwidth in inches
 
+# Relative save paths resolve against the repo root, not the process
+# cwd: experiments pass save_path="experiments", and invoking run()
+# from inside experiments/ must not create experiments/experiments/.
+_REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+
 
 def figsize(scale: float, nplots: float = 1.0):
     width = _TEXT_WIDTH_IN * scale
@@ -44,6 +50,8 @@ def savefig(filename: str, crop: bool = True):
 def save_result_dir(save_path: str, save_hp: dict) -> str:
     """Persist current figure + hp next to the experiment
     (reference utils/plotting.py:8-16 layout)."""
+    if not os.path.isabs(save_path):
+        save_path = os.path.join(_REPO_ROOT, save_path)
     script = os.path.splitext(os.path.basename(sys.argv[0]))[0] or "run"
     stamp = datetime.now().strftime("%Y%m%d-%H%M%S")
     res_dir = os.path.join(save_path, "results", f"{stamp}-{script}")

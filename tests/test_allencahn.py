@@ -202,3 +202,53 @@ def test_e2e_allencahn_tiny():
     # Tiny schedule: only assert real optimization happened.
     assert r["error"] < 1.5
     assert r["u_1_pred"].shape == (512,)
+
+
+# ---------------------------------------------------------------------------
+# ETDRK4 phi-coefficients: contour mean vs exact phi functions
+# ---------------------------------------------------------------------------
+
+def _exact_coeffs(Lk, dt):
+    """phi-expression closed forms evaluated in 50-digit mpmath — the
+    oracle the contour means must reproduce for ANY complex Lk."""
+    import mpmath as mp
+    mp.mp.dps = 50
+    rows = []
+    for lk in Lk:
+        z = mp.mpc(complex(dt * lk))
+        ez = mp.exp(z)
+        Q = dt * (mp.exp(z / 2) - 1) / z
+        f1 = dt * (-4 - z + ez * (4 - 3 * z + z ** 2)) / z ** 3
+        f2 = dt * (2 + z + ez * (-2 + z)) / z ** 3
+        f3 = dt * (-4 - 3 * z - z ** 2 + ez * (4 - z)) / z ** 3
+        rows.append([complex(v) for v in (Q, f1, f2, f3)])
+    return np.array(rows)
+
+
+@pytest.mark.parametrize("Lk", [
+    np.array([1e-6 + 2.0j, -1.0 + 5.0j, 0.3 - 0.2j, 2.5 + 0.0j]),
+    np.array([1j * (2 * np.pi * k) ** 3 for k in (1e-4, 0.5, 2.0)]),
+])
+def test_etdrk4_complex_contour_matches_exact_phi(Lk):
+    """ADVICE round-3 regression: real=False must use the FULL circle of
+    roots of unity; the old half-circle carried ~1e-2 coefficient errors
+    for Lk with nonzero real part (silently corrupting e.g. complex
+    Ginzburg–Landau, while KdV's purely-imaginary Lk cancelled them)."""
+    from datagen.allencahn_exact import _etdrk4_coeffs
+    dt = 0.4
+    _, _, Q, f1, f2, f3 = _etdrk4_coeffs(Lk, dt, real=False)
+    exact = _exact_coeffs(Lk, dt)
+    got = np.stack([Q, f1, f2, f3], axis=1)
+    assert np.max(np.abs(got - exact)) < 1e-12
+
+
+def test_etdrk4_real_halfcircle_matches_exact_phi():
+    """The real=True half-circle path stays exact for real Lk
+    (conjugate symmetry): guard it against regressions too."""
+    from datagen.allencahn_exact import _etdrk4_coeffs
+    Lk = np.array([-4.0, -1e-7, 0.5, 3.0])
+    dt = 0.25
+    _, _, Q, f1, f2, f3 = _etdrk4_coeffs(Lk, dt, real=True)
+    exact = _exact_coeffs(Lk, dt).real
+    got = np.stack([Q, f1, f2, f3], axis=1)
+    assert np.max(np.abs(got - exact)) < 1e-12
