@@ -58,9 +58,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 LAYERS = [2, 20, 20, 20, 20, 20, 20, 20, 20, 1]
 N_U, N_F = 100, 10000
 
-# Eager-TF2-CPU steps/s measured live on this host by the round-1 driver
-# run (BENCH_r01.json). Used unless the budget allows a live re-measure.
+# Eager-TF2-CPU steps/s: the PINNED baseline lives in BASELINE.json
+# ("tf_eager_cpu_baseline", median-of-steps with provenance) so the
+# published vs_baseline ratio is stable across runs — the 3-step live
+# measurement swung 63% between rounds (VERDICT r3 weak #3).  A live
+# re-measure is still taken when the budget allows and reported as
+# *_live fields, never replacing the pinned headline ratio.  The
+# constant is the last-resort fallback if BASELINE.json is unreadable.
 BASELINE_RECORDED = 2.425
+
+
+def pinned_baseline() -> tuple[float, str]:
+    """(steps/s, source) from BASELINE.json, else the fallback const."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as fh:
+            rec = json.load(fh)["tf_eager_cpu_baseline"]
+        return float(rec["steps_per_sec"]), "pinned"
+    except Exception:
+        return BASELINE_RECORDED, "recorded"
 
 START = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "400"))
@@ -98,15 +114,15 @@ def emit(record):
 
 
 def fallback_record(reason: str) -> dict:
+    base, base_src = pinned_baseline()
     return {
         "metric": "burgers_train_steps_per_sec",
         "value": FALLBACK_TPU_STEPS_PER_SEC,
         "unit": "steps/s",
-        "vs_baseline": round(FALLBACK_TPU_STEPS_PER_SEC / BASELINE_RECORDED,
-                             2),
+        "vs_baseline": round(FALLBACK_TPU_STEPS_PER_SEC / base, 2),
         "backend": "tpu",
-        "tf_eager_cpu_baseline_steps_per_sec": BASELINE_RECORDED,
-        "tf_baseline_source": "recorded",
+        "tf_eager_cpu_baseline_steps_per_sec": base,
+        "tf_baseline_source": base_src,
         "n_f": N_F,
         "fallback": reason,
     }
@@ -280,16 +296,17 @@ def main():
     adam_sps = time_adam(loss_fn, "xla")
     backend = jax.default_backend()
 
+    base, base_src = pinned_baseline()
     record = {
         "metric": "burgers_train_steps_per_sec",
         "value": round(adam_sps, 2),
         "unit": "steps/s",
-        "vs_baseline": round(adam_sps / BASELINE_RECORDED, 2),
+        "vs_baseline": round(adam_sps / base, 2),
         "backend": backend,
         "xla_steps_per_sec": round(adam_sps, 2),
         "residual_evals_per_sec_per_chip": round(adam_sps * n_f, 0),
-        "tf_eager_cpu_baseline_steps_per_sec": BASELINE_RECORDED,
-        "tf_baseline_source": "recorded",
+        "tf_eager_cpu_baseline_steps_per_sec": base,
+        "tf_baseline_source": base_src,
         "n_f": n_f,
     }
     emit(record)
@@ -310,8 +327,7 @@ def main():
         best = max(adam_sps, fused_sps)
         record.update({
             "value": round(best, 2),
-            "vs_baseline": round(
-                best / record["tf_eager_cpu_baseline_steps_per_sec"], 2),
+            "vs_baseline": round(best / base, 2),
             "fused_steps_per_sec": round(fused_sps, 2),
             "residual_evals_per_sec_per_chip": round(best * n_f, 0),
         })
@@ -362,15 +378,15 @@ def main():
     else:
         log(f"skipping lbfgs section ({remaining():.0f}s budget left)")
 
-    # --- Optional: live TF eager baseline re-measure (replaces the
-    # recorded constant when it fits the budget).
+    # --- Optional: live TF eager baseline re-measure.  Reported as
+    # *_live fields next to the pinned headline ratio — never replacing
+    # it, so vs_baseline is stable between runs (VERDICT r3 item #4).
     if not skip_tf and remaining() > 60:
-        tf_sps = measure_tf_baseline(n_f, steps=2 if smoke else 3)
+        tf_sps = measure_tf_baseline(n_f, steps=3 if smoke else 12)
         if tf_sps is not None:
             record.update({
-                "tf_eager_cpu_baseline_steps_per_sec": round(tf_sps, 3),
-                "tf_baseline_source": "live",
-                "vs_baseline": round(record["value"] / tf_sps, 2),
+                "tf_eager_cpu_baseline_steps_per_sec_live": round(tf_sps, 3),
+                "vs_baseline_live": round(record["value"] / tf_sps, 2),
             })
             emit(record)
     else:
@@ -380,9 +396,13 @@ def main():
     log(f"bench done in {time.time() - START:.0f}s")
 
 
-def measure_tf_baseline(n_f: int, steps: int = 3):
+def measure_tf_baseline(n_f: int, steps: int = 12):
     """Eager TF2 f64 nested-GradientTape step on CPU — the reference's
-    execution model, written fresh (not reference code)."""
+    execution model, written fresh (not reference code).
+
+    Returns 1/median(per-step seconds) over ``steps`` >= 10 timed
+    steps: the median is robust to GC pauses and host jitter, which
+    made the old 3-step mean swing 63% between rounds (VERDICT r3)."""
     try:
         os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
         import tensorflow as tf
@@ -423,11 +443,14 @@ def measure_tf_baseline(n_f: int, steps: int = 3):
         return loss
 
     one_step()  # warmup
-    t0 = time.time()
+    durs = []
     for _ in range(steps):
+        t0 = time.time()
         one_step()
-    sps = steps / (time.time() - t0)
-    log(f"  tf eager baseline steps/s: {sps:.2f}")
+        durs.append(time.time() - t0)
+    sps = 1.0 / float(np.median(durs))
+    log(f"  tf eager baseline steps/s: {sps:.3f} "
+        f"(median of {steps}; spread {min(durs):.2f}-{max(durs):.2f}s)")
     return sps
 
 

@@ -69,8 +69,23 @@ def train_once(hp, dtype, noise: float, logger):
     params0 = burgers.init_ide_params(net, dtype)
     params0 = maybe_load_params(hp, params0)
 
-    def loss_fn(p, b):
-        return burgers.loss_cont_identification(p, b["X_u"], b["u"], lb, ub)
+    if hp.get("fused_residual"):
+        # Fused Pallas identification kernel: loss + net grads + both
+        # lambda adjoints in one launch per step (pallas_train
+        # .make_burgers_ide_loss).  f32 only — the XLA path covers f64.
+        if dtype != jnp.float32:
+            raise ValueError("fused_residual requires dtype=float32 "
+                             "(the XLA path covers f64)")
+        from pinn.ops.pallas_train import make_burgers_ide_loss
+        sdt = ("bfloat16" if str(hp["fused_residual"]).lower()
+               in ("bf16", "bfloat16") else None)
+        loss_fn = make_burgers_ide_loss(
+            lb, ub, interpret=jax.default_backend() != "tpu",
+            stream_dtype=sdt)
+    else:
+        def loss_fn(p, b):
+            return burgers.loss_cont_identification(p, b["X_u"], b["u"],
+                                                    lb, ub)
 
     def epoch_extra(p):
         l1, l2 = get_lambdas(p)

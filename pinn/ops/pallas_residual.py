@@ -37,6 +37,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _map_tile(i):
+    """Index map for point-tiled blocks.  The constant is pinned to
+    i32: under jax_enable_x64 a Python-int 0 in an index map traces as
+    i64 while the program id stays i32, and Mosaic rejects the mixed-
+    width return ("failed to legalize \'func.return\'") — hit whenever
+    the mixed-precision Trainer (nt_vector_dtype=float64) enables x64
+    globally around a fused-kernel loss."""
+    return jnp.int32(0), i
+
+
+def _map_whole(i):
+    """Index map for whole-array (weight/accumulator) blocks; same
+    i32-pinning rationale as :func:`_map_tile`."""
+    del i
+    return jnp.int32(0), jnp.int32(0)
+
+
+def _map_rows(i):
+    """Index map for row-tiled blocks; same i32 pinning."""
+    return i, jnp.int32(0)
+
+
+from pinn.ops.pallas_train import _x64_safe_jit  # noqa: E402
+
 TILE = 2048
 
 
@@ -151,7 +176,7 @@ def _residual_kernel_fmajor(n_hidden: int, nu: float, x_ref, *refs):
     out_ref[:] = u_t + u * u_x - nu * u_xx
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+@_x64_safe_jit(static_argnames=("nu", "interpret"))
 def burgers_residual_fmajor(params, X_f, lb, ub, nu: float,
                             interpret: bool = False) -> jnp.ndarray:
     """Features-major fused residual (see kernel docstring), (N, 1)."""
@@ -177,12 +202,12 @@ def burgers_residual_fmajor(params, X_f, lb, ub, nu: float,
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((2, TILE), lambda i: (0, i),
+            pl.BlockSpec((2, TILE), _map_tile,
                          memory_space=pltpu.VMEM),            # X tile
             pl.BlockSpec(memory_space=pltpu.VMEM),            # scale
             pl.BlockSpec(memory_space=pltpu.VMEM),            # lbub
         ] + weight_specs,
-        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, TILE), _map_tile,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_total), X_f.dtype),
         interpret=interpret,
@@ -190,7 +215,7 @@ def burgers_residual_fmajor(params, X_f, lb, ub, nu: float,
     return out[0, :n, None]
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+@_x64_safe_jit(static_argnames=("nu", "interpret"))
 def burgers_residual(params, X_f, lb, ub, nu: float,
                      interpret: bool = False) -> jnp.ndarray:
     """Fused residual at collocation points, (N, 1).
@@ -220,12 +245,12 @@ def burgers_residual(params, X_f, lb, ub, nu: float,
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((TILE, 2), lambda i: (i, 0),
+            pl.BlockSpec((TILE, 2), _map_rows,
                          memory_space=pltpu.VMEM),            # X tile
             pl.BlockSpec(memory_space=pltpu.VMEM),            # scale
             pl.BlockSpec(memory_space=pltpu.VMEM),            # lbub
         ] + weight_specs,
-        out_specs=pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE, 1), _map_rows,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_total, 1), X_f.dtype),
         interpret=interpret,
@@ -294,7 +319,7 @@ def _schrodinger_kernel_fmajor(n_hidden: int, x_ref, *refs):
     out_ref[:] = jnp.concatenate([f_u, f_v], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@_x64_safe_jit(static_argnames=("interpret",))
 def schrodinger_residual(params, X_f, lb, ub,
                          interpret: bool = False):
     """Fused NLS residual at collocation points -> (f_u, f_v), each (N, 1)."""
@@ -320,12 +345,12 @@ def schrodinger_residual(params, X_f, lb, ub,
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((2, TILE), lambda i: (0, i),
+            pl.BlockSpec((2, TILE), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + weight_specs,
-        out_specs=pl.BlockSpec((2, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((2, TILE), _map_tile,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, n_total), X_f.dtype),
         interpret=interpret,

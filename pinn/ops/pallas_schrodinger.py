@@ -42,6 +42,26 @@ from pinn.ops.pallas_train import _layer_fwd, _layer_bwd, _prep, _pad_points, _d
 
 # 100-wide layers: saved stream buffers are (100, 4T) f32 per hidden
 # layer; T=512 keeps the whole working set (~6 MB) comfortably in VMEM.
+
+def _map_tile(i):
+    """Index map for point-tiled blocks.  The constant is pinned to
+    i32: under jax_enable_x64 a Python-int 0 in an index map traces as
+    i64 while the program id stays i32, and Mosaic rejects the mixed-
+    width return ("failed to legalize \'func.return\'") — hit whenever
+    the mixed-precision Trainer (nt_vector_dtype=float64) enables x64
+    globally around a fused-kernel loss."""
+    return jnp.int32(0), i
+
+
+def _map_whole(i):
+    """Index map for whole-array (weight/accumulator) blocks; same
+    i32-pinning rationale as :func:`_map_tile`."""
+    del i
+    return jnp.int32(0), jnp.int32(0)
+
+
+from pinn.ops.pallas_train import _x64_safe_jit  # noqa: E402
+
 TILE = 512
 
 
@@ -183,8 +203,7 @@ def _make_fwd_bwd_kernel(n_hidden: int, n_real: int, T: int,
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_real", "interpret", "sdt_name"))
+@_x64_safe_jit(static_argnames=("n_real", "interpret", "sdt_name"))
 def _sse_fwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False,
                   sdt_name="float32"):
     sdt = jnp.dtype(sdt_name)
@@ -197,12 +216,12 @@ def _sse_fwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False,
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + w_specs,
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, 1), _map_whole,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
@@ -210,8 +229,7 @@ def _sse_fwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False,
     return sse[0, 0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_real", "interpret", "sdt_name"))
+@_x64_safe_jit(static_argnames=("n_real", "interpret", "sdt_name"))
 def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False,
                       sdt_name="float32"):
     sdt = jnp.dtype(sdt_name)
@@ -223,15 +241,15 @@ def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False,
 
     # Loss and every gradient accumulate in f32 regardless of sdt.
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+    out_specs = [pl.BlockSpec((1, 1), _map_whole,
                               memory_space=pltpu.SMEM)]
     for wt in wt_args:
         out_shapes.append(jax.ShapeDtypeStruct(wt.shape, jnp.float32))
-        out_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
+        out_specs.append(pl.BlockSpec(wt.shape, _map_whole,
                                       memory_space=pltpu.VMEM))
     for zrow in (z1row, z2row):
         out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, jnp.float32))
-        out_specs.append(pl.BlockSpec(zrow.shape, lambda i: (0, 0),
+        out_specs.append(pl.BlockSpec(zrow.shape, _map_whole,
                                       memory_space=pltpu.VMEM))
 
     scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), sdt)
@@ -241,7 +259,7 @@ def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, n_real, interpret=False,
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

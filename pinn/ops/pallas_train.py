@@ -53,6 +53,44 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _map_tile(i):
+    """Index map for point-tiled blocks.  The constant is pinned to
+    i32: under jax_enable_x64 a Python-int 0 in an index map traces as
+    i64 while the program id stays i32, and Mosaic rejects the mixed-
+    width return ("failed to legalize \'func.return\'") — hit whenever
+    the mixed-precision Trainer (nt_vector_dtype=float64) enables x64
+    globally around a fused-kernel loss."""
+    return jnp.int32(0), i
+
+
+def _map_whole(i):
+    """Index map for whole-array (weight/accumulator) blocks; same
+    i32-pinning rationale as :func:`_map_tile`."""
+    del i
+    return jnp.int32(0), jnp.int32(0)
+
+
+def _x64_safe_jit(**jit_kw):
+    """``jax.jit`` that traces its function with x64 DISABLED.
+
+    Every kernel input/output here is explicitly typed (f32/bf16/i32),
+    but pallas promotes BlockSpec index-map outputs to the *default*
+    int width — under ``jax_enable_x64`` (which the mixed-precision
+    Trainer turns on globally for its f64 L-BFGS vector algebra) they
+    become i64 and Mosaic refuses the kernel ("failed to legalize
+    \'func.return\'").  Tracing with x64 off pins the lowering to i32
+    without affecting the caller\'s dtypes.
+    """
+    def deco(fn):
+        @functools.wraps(fn)
+        def traced(*a, **k):
+            with jax.enable_x64(False):
+                return fn(*a, **k)
+        return jax.jit(traced, **jit_kw)
+    return deco
+
+
 TILE = 1024
 
 
@@ -138,6 +176,80 @@ def _layer_bwd(wt, t, z1, z11, z2, g_cat, T, sdt=jnp.float32):
     return gZ_cat, g_in_cat
 
 
+def _run_forward(wref, a0, z1row, z2row, n_hidden: int, T: int,
+                 sdt=jnp.float32, saved=None):
+    """Shared forward over the hidden stack: layer-0 (broadcast tangent
+    rows) then the stacked-stream hidden layers; optionally save each
+    layer's (t | z1 | z11 | z2) block into ``saved`` VMEM scratch for
+    the backward's rematerialization.  Returns the last hidden
+    activation streams ``a_cat`` (h, 4T)."""
+    a_cat, t, z1, z11, z2 = _layer_fwd(
+        wref[0][:], wref[1][:], a0, T, first=True,
+        z1row=z1row, z2row=z2row, sdt=sdt)
+    if saved is not None:
+        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1).astype(sdt)
+    for l in range(1, n_hidden):
+        a_cat, t, z1, z11, z2 = _layer_fwd(
+            wref[2 * l][:], wref[2 * l + 1][:], a_cat, T, sdt=sdt)
+        if saved is not None:
+            saved[l][:] = jnp.concatenate([t, z1, z11, z2],
+                                          axis=1).astype(sdt)
+    return a_cat
+
+
+def _run_backward(wref, gw_refs, gz1row_ref, gz2row_ref, saved,
+                  a0, a_cat, gU, n_hidden: int, T: int, sdt=jnp.float32):
+    """Shared backward tail: from the output-stream adjoints ``gU``
+    (h_out, 4T) back through every layer, accumulating all parameter
+    gradients plus the first-layer tangent-row adjoints.  Activations
+    are rematerialized from the ``saved`` VMEM blocks — nothing
+    round-trips HBM."""
+    wt_out = wref[2 * n_hidden][:]
+    gw_refs[2 * n_hidden][:] += _dot(gU, a_cat.T)
+    gw_refs[2 * n_hidden + 1][:] += jnp.sum(
+        gU[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
+    g_cat = _dot(wt_out.T, gU)
+
+    for l in range(n_hidden - 1, 0, -1):
+        S = saved[l][:]
+        t = S[:, 0 * T:1 * T]
+        z1 = S[:, 1 * T:2 * T]
+        z11 = S[:, 2 * T:3 * T]
+        z2 = S[:, 3 * T:4 * T]
+        gZ_cat, g_cat = _layer_bwd(wref[2 * l][:], t, z1, z11, z2,
+                                   g_cat, T, sdt=sdt)
+        # Layer input = previous layer's outputs, rematerialized.
+        Sp = saved[l - 1][:]
+        tp = Sp[:, 0 * T:1 * T].astype(jnp.float32)
+        z1p = Sp[:, 1 * T:2 * T].astype(jnp.float32)
+        z11p = Sp[:, 2 * T:3 * T].astype(jnp.float32)
+        z2p = Sp[:, 3 * T:4 * T].astype(jnp.float32)
+        spp_ = 1.0 - tp * tp
+        sppp = -2.0 * tp * spp_
+        a_in = jnp.concatenate(
+            [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
+             spp_ * z2p], axis=1).astype(sdt)
+        gw_refs[2 * l][:] += _dot(gZ_cat, a_in.T)
+        gw_refs[2 * l + 1][:] += jnp.sum(
+            gZ_cat[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
+
+    S = saved[0][:]
+    t = S[:, 0 * T:1 * T]
+    z1 = S[:, 1 * T:2 * T]
+    z11 = S[:, 2 * T:3 * T]
+    z2 = S[:, 3 * T:4 * T]
+    gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T, sdt=sdt)
+    gz_v = gZ_cat[:, 0:T]
+    gw_refs[0][:] += _dot(gz_v, a0.T)
+    gw_refs[1][:] += jnp.sum(gz_v.astype(jnp.float32), axis=1,
+                             keepdims=True)
+    # z1/z2 were broadcast rows: their adjoints are column sums.
+    gz1row_ref[:] += jnp.sum(
+        gZ_cat[:, T:2 * T].astype(jnp.float32), axis=1, keepdims=True)
+    gz2row_ref[:] += jnp.sum(
+        gZ_cat[:, 3 * T:4 * T].astype(jnp.float32), axis=1, keepdims=True)
+
+
 def _fwd_kernel(n_hidden: int, nu: float, n_real: int, T: int,
                 x_ref, z1row_ref, z2row_ref, *refs):
     """Forward only: accumulate SSE over tiles.  refs: [Wt,b]*L + [sse]."""
@@ -145,14 +257,8 @@ def _fwd_kernel(n_hidden: int, nu: float, n_real: int, T: int,
     sse_ref = refs[-1]
     i = pl.program_id(0)
 
-    a_cat = x_ref[:]  # (din, T), layer-0 input (pre-normalized by caller)
-    z1row = z1row_ref[:]
-    z2row = z2row_ref[:]
-
-    a_cat, *_ = _layer_fwd(wref[0][:], wref[1][:], a_cat, T,
-                           first=True, z1row=z1row, z2row=z2row)
-    for l in range(1, n_hidden):
-        a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
+    a0 = x_ref[:]  # (din, T), layer-0 input (pre-normalized by caller)
+    a_cat = _run_forward(wref, a0, z1row_ref[:], z2row_ref[:], n_hidden, T)
 
     wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
     U = _dot(wt, a_cat)
@@ -196,14 +302,8 @@ def _make_fwd_bwd_kernel(n_hidden: int, nu: float, n_real: int, T: int):
 
         a0 = x_ref[:]                       # (din, T)
         # ---- forward, saving (t | z1 | z11 | z2) per hidden layer ----
-        a_cat, t, z1, z11, z2 = _layer_fwd(
-            wref[0][:], wref[1][:], a0, T,
-            first=True, z1row=z1row_ref[:], z2row=z2row_ref[:])
-        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
-        for l in range(1, n_hidden):
-            a_cat, t, z1, z11, z2 = _layer_fwd(
-                wref[2 * l][:], wref[2 * l + 1][:], a_cat, T)
-            saved[l][:] = jnp.concatenate([t, z1, z11, z2], axis=1)
+        a_cat = _run_forward(wref, a0, z1row_ref[:], z2row_ref[:],
+                             n_hidden, T, saved=saved)
 
         wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
         U = _dot(wt_out, a_cat)
@@ -222,50 +322,8 @@ def _make_fwd_bwd_kernel(n_hidden: int, nu: float, n_real: int, T: int):
         gU = jnp.concatenate(
             [g_f * u_x, g_f * u, -nu * g_f, g_f], axis=1)  # (1, 4T)
 
-        # ---- output layer backward ----
-        gw_refs[2 * n_hidden][:] += _dot(gU, a_cat.T)
-        gw_refs[2 * n_hidden + 1][:] += jnp.sum(
-            g_f * u_x, axis=1, keepdims=True)
-        g_cat = _dot(wt_out.T, gU)
-
-        # ---- hidden layers backward (remat from saved buffers) ----
-        for l in range(n_hidden - 1, 0, -1):
-            S = saved[l][:]
-            t = S[:, 0 * T:1 * T]
-            z1 = S[:, 1 * T:2 * T]
-            z11 = S[:, 2 * T:3 * T]
-            z2 = S[:, 3 * T:4 * T]
-            gZ_cat, g_cat = _layer_bwd(wref[2 * l][:], t, z1, z11, z2,
-                                       g_cat, T)
-            # Layer input = previous layer's outputs, rematerialized.
-            Sp = saved[l - 1][:]
-            tp = Sp[:, 0 * T:1 * T]
-            z1p = Sp[:, 1 * T:2 * T]
-            z11p = Sp[:, 2 * T:3 * T]
-            z2p = Sp[:, 3 * T:4 * T]
-            spp_ = 1.0 - tp * tp
-            sppp = -2.0 * tp * spp_
-            a_in = jnp.concatenate(
-                [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
-                 spp_ * z2p], axis=1)
-            gw_refs[2 * l][:] += _dot(gZ_cat, a_in.T)
-            gw_refs[2 * l + 1][:] += jnp.sum(
-                gZ_cat[:, 0:T], axis=1, keepdims=True)
-
-        # ---- first layer backward ----
-        S = saved[0][:]
-        t = S[:, 0 * T:1 * T]
-        z1 = S[:, 1 * T:2 * T]
-        z11 = S[:, 2 * T:3 * T]
-        z2 = S[:, 3 * T:4 * T]
-        gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T)
-        gz_v = gZ_cat[:, 0:T]
-        gw_refs[0][:] += _dot(gz_v, a0.T)
-        gw_refs[1][:] += jnp.sum(gz_v, axis=1, keepdims=True)
-        # z1/z2 were broadcast rows: their adjoints are column sums.
-        gz1row_ref[:] += jnp.sum(gZ_cat[:, T:2 * T], axis=1, keepdims=True)
-        gz2row_ref[:] += jnp.sum(gZ_cat[:, 3 * T:4 * T], axis=1,
-                                 keepdims=True)
+        _run_backward(wref, gw_refs, gz1row_ref, gz2row_ref, saved,
+                      a0, a_cat, gU, n_hidden, T)
 
     return kernel
 
@@ -296,8 +354,7 @@ def _pad_points(a0, n, T):
     return a0, n + n_pad
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("nu", "n_real", "interpret"))
+@_x64_safe_jit(static_argnames=("nu", "n_real", "interpret"))
 def _sse_fwd_call(wt_args, a0p, z1row, z2row, nu, n_real, interpret=False):
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
@@ -307,12 +364,12 @@ def _sse_fwd_call(wt_args, a0p, z1row, z2row, nu, n_real, interpret=False):
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + w_specs,
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, 1), _map_whole,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), a0p.dtype),
         interpret=interpret,
@@ -320,8 +377,7 @@ def _sse_fwd_call(wt_args, a0p, z1row, z2row, nu, n_real, interpret=False):
     return sse[0, 0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("nu", "n_real", "interpret"))
+@_x64_safe_jit(static_argnames=("nu", "n_real", "interpret"))
 def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, nu, n_real,
                       interpret=False):
     n_total = a0p.shape[1]
@@ -331,15 +387,15 @@ def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, nu, n_real,
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
 
     out_shapes = [jax.ShapeDtypeStruct((1, 1), a0p.dtype)]       # sse
-    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+    out_specs = [pl.BlockSpec((1, 1), _map_whole,
                               memory_space=pltpu.SMEM)]
     for wt in wt_args:
         out_shapes.append(jax.ShapeDtypeStruct(wt.shape, wt.dtype))
-        out_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
+        out_specs.append(pl.BlockSpec(wt.shape, _map_whole,
                                       memory_space=pltpu.VMEM))
     for zrow in (z1row, z2row):
         out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, zrow.dtype))
-        out_specs.append(pl.BlockSpec(zrow.shape, lambda i: (0, 0),
+        out_specs.append(pl.BlockSpec(zrow.shape, _map_whole,
                                       memory_space=pltpu.VMEM))
 
     scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), a0p.dtype)
@@ -349,7 +405,7 @@ def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, nu, n_real,
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -465,15 +521,8 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int,
         w = aux_ref[1:2, :]
         d = aux_ref[2:3, :]
 
-        a_cat, t, z1, z11, z2 = _layer_fwd(
-            wref[0][:], wref[1][:], a0, T,
-            first=True, z1row=z1row_ref[:], z2row=z2row_ref[:], sdt=sdt)
-        saved[0][:] = jnp.concatenate([t, z1, z11, z2], axis=1).astype(sdt)
-        for l in range(1, n_hidden):
-            a_cat, t, z1, z11, z2 = _layer_fwd(
-                wref[2 * l][:], wref[2 * l + 1][:], a_cat, T, sdt=sdt)
-            saved[l][:] = jnp.concatenate([t, z1, z11, z2],
-                                          axis=1).astype(sdt)
+        a_cat = _run_forward(wref, a0, z1row_ref[:], z2row_ref[:],
+                             n_hidden, T, sdt=sdt, saved=saved)
 
         wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
         U = _dot(wt_out, a_cat)
@@ -492,49 +541,8 @@ def _make_train_kernel(n_hidden: int, nu: float, T: int,
             [g_f * (d + e * u_x), g_f * e * u, -nu * g_f * e, g_f * e],
             axis=1).astype(sdt)             # (1, 4T)
 
-        gw_refs[2 * n_hidden][:] += _dot(gU, a_cat.T)
-        gw_refs[2 * n_hidden + 1][:] += jnp.sum(
-            gU[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
-        g_cat = _dot(wt_out.T, gU)
-
-        for l in range(n_hidden - 1, 0, -1):
-            S = saved[l][:]
-            t = S[:, 0 * T:1 * T]
-            z1 = S[:, 1 * T:2 * T]
-            z11 = S[:, 2 * T:3 * T]
-            z2 = S[:, 3 * T:4 * T]
-            gZ_cat, g_cat = _layer_bwd(wref[2 * l][:], t, z1, z11, z2,
-                                       g_cat, T, sdt=sdt)
-            Sp = saved[l - 1][:]
-            tp = Sp[:, 0 * T:1 * T].astype(jnp.float32)
-            z1p = Sp[:, 1 * T:2 * T].astype(jnp.float32)
-            z11p = Sp[:, 2 * T:3 * T].astype(jnp.float32)
-            z2p = Sp[:, 3 * T:4 * T].astype(jnp.float32)
-            spp_ = 1.0 - tp * tp
-            sppp = -2.0 * tp * spp_
-            a_in = jnp.concatenate(
-                [tp, spp_ * z1p, sppp * z1p * z1p + spp_ * z11p,
-                 spp_ * z2p], axis=1).astype(sdt)
-            gw_refs[2 * l][:] += _dot(gZ_cat, a_in.T)
-            gw_refs[2 * l + 1][:] += jnp.sum(
-                gZ_cat[:, 0:T].astype(jnp.float32), axis=1, keepdims=True)
-
-        S = saved[0][:]
-        t = S[:, 0 * T:1 * T]
-        z1 = S[:, 1 * T:2 * T]
-        z11 = S[:, 2 * T:3 * T]
-        z2 = S[:, 3 * T:4 * T]
-        gZ_cat, _ = _layer_bwd(wref[0][:], t, z1, z11, z2, g_cat, T,
-                               sdt=sdt)
-        gz_v = gZ_cat[:, 0:T]
-        gw_refs[0][:] += _dot(gz_v, a0.T)
-        gw_refs[1][:] += jnp.sum(gz_v.astype(jnp.float32), axis=1,
-                                 keepdims=True)
-        gz1row_ref[:] += jnp.sum(
-            gZ_cat[:, T:2 * T].astype(jnp.float32), axis=1, keepdims=True)
-        gz2row_ref[:] += jnp.sum(
-            gZ_cat[:, 3 * T:4 * T].astype(jnp.float32), axis=1,
-            keepdims=True)
+        _run_backward(wref, gw_refs, gz1row_ref, gz2row_ref, saved,
+                      a0, a_cat, gU, n_hidden, T, sdt=sdt)
 
     return kernel
 
@@ -552,12 +560,8 @@ def _fwd_train_kernel(n_hidden: int, nu: float, T: int, sdt,
     w = aux_ref[1:2, :]
     d = aux_ref[2:3, :]
 
-    a_cat, *_ = _layer_fwd(wref[0][:], wref[1][:], a0, T,
-                           first=True, z1row=z1row_ref[:],
-                           z2row=z2row_ref[:], sdt=sdt)
-    for l in range(1, n_hidden):
-        a_cat, *_ = _layer_fwd(wref[2 * l][:], wref[2 * l + 1][:], a_cat, T,
-                               sdt=sdt)
+    a_cat = _run_forward(wref, a0, z1row_ref[:], z2row_ref[:],
+                         n_hidden, T, sdt=sdt)
 
     wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
     U = _dot(wt, a_cat)
@@ -576,8 +580,7 @@ def _fwd_train_kernel(n_hidden: int, nu: float, T: int, sdt,
     loss_ref[0, 0] += jnp.sum(w * f * f)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("nu", "interpret", "sdt_name"))
+@_x64_safe_jit(static_argnames=("nu", "interpret", "sdt_name"))
 def _train_loss_call(wt_args, a0p, auxp, z1row, z2row, nu,
                      interpret=False, sdt_name="float32"):
     sdt = jnp.dtype(sdt_name)
@@ -590,14 +593,14 @@ def _train_loss_call(wt_args, a0p, auxp, z1row, z2row, nu,
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), lambda i: (0, i),
+            pl.BlockSpec((3, TILE), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + w_specs,
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, 1), _map_whole,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
@@ -605,8 +608,7 @@ def _train_loss_call(wt_args, a0p, auxp, z1row, z2row, nu,
     return out[0, 0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("nu", "interpret", "sdt_name"))
+@_x64_safe_jit(static_argnames=("nu", "interpret", "sdt_name"))
 def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
                           interpret=False, sdt_name="float32"):
     sdt = jnp.dtype(sdt_name)
@@ -618,15 +620,15 @@ def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
 
     # Loss and every gradient accumulate in f32 regardless of sdt.
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+    out_specs = [pl.BlockSpec((1, 1), _map_whole,
                               memory_space=pltpu.SMEM)]
     for wt in wt_args:
         out_shapes.append(jax.ShapeDtypeStruct(wt.shape, jnp.float32))
-        out_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
+        out_specs.append(pl.BlockSpec(wt.shape, _map_whole,
                                       memory_space=pltpu.VMEM))
     for zrow in (z1row, z2row):
         out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, jnp.float32))
-        out_specs.append(pl.BlockSpec(zrow.shape, lambda i: (0, 0),
+        out_specs.append(pl.BlockSpec(zrow.shape, _map_whole,
                                       memory_space=pltpu.VMEM))
 
     scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), sdt)
@@ -636,9 +638,9 @@ def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
         kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), lambda i: (0, i),
+            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), lambda i: (0, i),
+            pl.BlockSpec((3, TILE), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -652,6 +654,22 @@ def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
     gwt = outs[1:1 + len(wt_args)]
     gz1row, gz2row = outs[-2], outs[-1]
     return loss, gwt, gz1row, gz2row
+
+
+def _assemble_net_grads(net_params, gwt, gz1row, gz2row, vx, vt, g):
+    """Transpose the kernel's (h, din)-layout weight-grad accumulators
+    back to the params layout and fold the first-layer tangent-row
+    adjoints (z1row = vx @ W0, z2row = vt @ W0) into W0's gradient;
+    ``g`` is the outer cotangent (a scalar rescale)."""
+    grads = []
+    for l, (wl, bl) in enumerate(net_params):
+        gw = gwt[2 * l].T
+        gb = gwt[2 * l + 1][:, 0] if bl.ndim == 1 else gwt[2 * l + 1]
+        if l == 0:
+            gw = gw + jnp.outer(vx, gz1row[:, 0]) \
+                    + jnp.outer(vt, gz2row[:, 0])
+        grads.append((g * gw, g * gb))
+    return tuple(grads)
 
 
 def make_burgers_loss(lb, ub, nu: float, interpret: bool = False,
@@ -706,17 +724,6 @@ def make_burgers_loss(lb, ub, nu: float, interpret: bool = False,
             wt_args = [a.astype(sdt) for a in wt_args]
         return a0p, aux, z1row, z2row, wt_args, vx, vt
 
-    def _assemble_grads(params, gwt, gz1row, gz2row, vx, vt, g):
-        grads = []
-        for l, (wl, bl) in enumerate(params):
-            gw = gwt[2 * l].T
-            gb = gwt[2 * l + 1][:, 0] if bl.ndim == 1 else gwt[2 * l + 1]
-            if l == 0:
-                gw = gw + jnp.outer(vx, gz1row[:, 0]) \
-                        + jnp.outer(vt, gz2row[:, 0])
-            grads.append((g * gw, g * gb))
-        return tuple(grads)
-
     @jax.custom_vjp
     def loss(params, batch):
         a0p, aux, z1row, z2row, wt_args, _, _ = _prep_all(params, batch)
@@ -733,7 +740,7 @@ def make_burgers_loss(lb, ub, nu: float, interpret: bool = False,
 
     def loss_bwd(res, g):
         params, batch, gwt, gz1row, gz2row, vx, vt = res
-        grads = _assemble_grads(params, gwt, gz1row, gz2row, vx, vt, g)
+        grads = _assemble_net_grads(params, gwt, gz1row, gz2row, vx, vt, g)
         zero_batch = jax.tree_util.tree_map(jnp.zeros_like, batch)
         return grads, zero_batch
 
@@ -784,4 +791,276 @@ def make_burgers_loss_dp(lb, ub, nu: float, mesh, axis: str = "data",
                 "as a multiple of the device count for the fused DP path")
         return sharded(params, batch)
 
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# Identification train kernel (VERDICT round-3 item #2): the continuous
+# identification loss (reference 1d-burgers/ide_cont_burgers.py:85,
+# :109-114) fully fused, with the trainable PDE coefficients riding
+# SMEM as runtime scalars:
+#
+#     loss = mse(u - target) + mse(f),
+#     f    = u_t + lambda1 * u u_x - exp(lambda2) * u_xx,
+#
+# both terms at the SAME points (no separate collocation set).  Each
+# point therefore contributes BOTH misfits in one pass via two
+# per-point weight rows (w_d, w_f); padding rows carry zeros in both.
+# The lambda adjoints are two extra SMEM accumulators:
+#
+#     d loss / d lambda1     =  sum g_f * u * u_x     (A1)
+#     d loss / d lambda2_log = -exp(l2) * sum g_f * u_xx   (-l2 * A2)
+#
+# with g_f = 2 w_f f — exactly the accumulators the XLA autodiff builds,
+# but fused into the same single launch as the parameter gradients.
+# ---------------------------------------------------------------------------
+
+
+def _make_ide_kernel(n_hidden: int, T: int, sdt=jnp.float32):
+    n_layers = n_hidden + 1
+
+    def kernel(x_ref, aux_ref, lam_ref, z1row_ref, z2row_ref, *refs):
+        wref = refs[:2 * n_layers]
+        loss_ref = refs[2 * n_layers]
+        gw_refs = refs[2 * n_layers + 1: 4 * n_layers + 1]
+        gz1row_ref = refs[4 * n_layers + 1]
+        gz2row_ref = refs[4 * n_layers + 2]
+        glam_ref = refs[4 * n_layers + 3]
+        saved = refs[4 * n_layers + 4:]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            loss_ref[0, 0] = 0.0
+            glam_ref[0, 0] = 0.0
+            glam_ref[0, 1] = 0.0
+            for r in gw_refs:
+                r[:] = jnp.zeros_like(r)
+            gz1row_ref[:] = jnp.zeros_like(gz1row_ref)
+            gz2row_ref[:] = jnp.zeros_like(gz2row_ref)
+
+        a0 = x_ref[:]                       # (din, T), sdt
+        target = aux_ref[0:1, :]            # (1, T), f32
+        w_d = aux_ref[1:2, :]
+        w_f = aux_ref[2:3, :]
+        l1 = lam_ref[0, 0]                  # lambda1
+        l2 = lam_ref[0, 1]                  # exp(lambda2), precomputed
+
+        a_cat = _run_forward(wref, a0, z1row_ref[:], z2row_ref[:],
+                             n_hidden, T, sdt=sdt, saved=saved)
+
+        wt_out, b_out = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+        U = _dot(wt_out, a_cat)
+        u = U[:, 0 * T:1 * T] + b_out.astype(jnp.float32)
+        u_x = U[:, 1 * T:2 * T]
+        u_xx = U[:, 2 * T:3 * T]
+        u_t = U[:, 3 * T:4 * T]
+
+        # ---- both misfits per point ----
+        f = u_t + l1 * u * u_x - l2 * u_xx
+        e_d = u - target
+        loss_ref[0, 0] += jnp.sum(w_d * e_d * e_d + w_f * f * f)
+
+        g_f = 2.0 * w_f * f
+        g_d = 2.0 * w_d * e_d
+        glam_ref[0, 0] += jnp.sum(g_f * u * u_x)      # A1
+        glam_ref[0, 1] += jnp.sum(g_f * u_xx)         # A2
+        gU = jnp.concatenate(
+            [g_d + g_f * l1 * u_x, g_f * l1 * u, -l2 * g_f, g_f],
+            axis=1).astype(sdt)             # (1, 4T)
+
+        _run_backward(wref, gw_refs, gz1row_ref, gz2row_ref, saved,
+                      a0, a_cat, gU, n_hidden, T, sdt=sdt)
+
+    return kernel
+
+
+def _fwd_ide_kernel(n_hidden: int, T: int, sdt,
+                    x_ref, aux_ref, lam_ref, z1row_ref, z2row_ref, *refs):
+    """Loss-only variant of the identification kernel (line-search
+    probes, logger lines)."""
+    wref = refs[:-1]
+    loss_ref = refs[-1]
+    i = pl.program_id(0)
+
+    a0 = x_ref[:]
+    target = aux_ref[0:1, :]
+    w_d = aux_ref[1:2, :]
+    w_f = aux_ref[2:3, :]
+    l1 = lam_ref[0, 0]
+    l2 = lam_ref[0, 1]
+
+    a_cat = _run_forward(wref, a0, z1row_ref[:], z2row_ref[:],
+                         n_hidden, T, sdt=sdt)
+
+    wt, b = wref[2 * n_hidden][:], wref[2 * n_hidden + 1][:]
+    U = _dot(wt, a_cat)
+    u = U[:, 0 * T:1 * T] + b.astype(jnp.float32)
+    u_x = U[:, 1 * T:2 * T]
+    u_xx = U[:, 2 * T:3 * T]
+    u_t = U[:, 3 * T:4 * T]
+
+    f = u_t + l1 * u * u_x - l2 * u_xx
+    e_d = u - target
+
+    @pl.when(i == 0)
+    def _():
+        loss_ref[0, 0] = 0.0
+
+    loss_ref[0, 0] += jnp.sum(w_d * e_d * e_d + w_f * f * f)
+
+
+@_x64_safe_jit(static_argnames=("interpret", "sdt_name"))
+def _ide_loss_call(wt_args, a0p, auxp, lam, z1row, z2row,
+                   interpret=False, sdt_name="float32"):
+    sdt = jnp.dtype(sdt_name)
+    n_total = a0p.shape[1]
+    n_layers = len(wt_args) // 2
+    kernel = functools.partial(_fwd_ide_kernel, n_layers - 1, TILE, sdt)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), _map_tile,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=pl.BlockSpec((1, 1), _map_whole,
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )(a0p, auxp, lam, z1row, z2row, *wt_args)
+    return out[0, 0]
+
+
+@_x64_safe_jit(static_argnames=("interpret", "sdt_name"))
+def _ide_loss_grad_call(wt_args, a0p, auxp, lam, z1row, z2row,
+                        interpret=False, sdt_name="float32"):
+    sdt = jnp.dtype(sdt_name)
+    n_total = a0p.shape[1]
+    n_layers = len(wt_args) // 2
+    n_hidden = n_layers - 1
+    kernel = _make_ide_kernel(n_hidden, TILE, sdt=sdt)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1), _map_whole,
+                              memory_space=pltpu.SMEM)]
+    for wt in wt_args:
+        out_shapes.append(jax.ShapeDtypeStruct(wt.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(wt.shape, _map_whole,
+                                      memory_space=pltpu.VMEM))
+    for zrow in (z1row, z2row):
+        out_shapes.append(jax.ShapeDtypeStruct(zrow.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(zrow.shape, _map_whole,
+                                      memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((1, 2), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 2), _map_whole,
+                                  memory_space=pltpu.SMEM))
+
+    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), sdt)
+               for l in range(n_hidden)]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_total // TILE,),
+        in_specs=[
+            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), _map_tile,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(a0p, auxp, lam, z1row, z2row, *wt_args)
+    loss = outs[0][0, 0]
+    gwt = outs[1:1 + len(wt_args)]
+    gz1row, gz2row, glam = outs[-3], outs[-2], outs[-1]
+    return loss, gwt, gz1row, gz2row, glam
+
+
+def make_burgers_ide_loss(lb, ub, interpret: bool = False,
+                          stream_dtype=None):
+    """Fused identification loss: ``loss(params: IdeParams, batch)``
+    with ``batch = {"X_u", "u"}`` — data MSE plus residual MSE at the
+    same points, residual ``u_t + lambda1 u u_x - exp(lambda2) u_xx``
+    with TRAINABLE coefficients (reference ide_cont_burgers.py:85,
+    :109-114).
+
+    One pallas launch per training step computes the loss, every
+    network-parameter gradient, AND both lambda adjoints (two extra
+    SMEM scalar accumulators); the custom_vjp backward is a scalar
+    rescale.  Gradient-oracle-tested against
+    ``jax.grad(pinn.problems.burgers.loss_cont_identification)``
+    (tests/test_pallas_train.py).  f32 streams (``stream_dtype=
+    "bfloat16"`` for warmup-grade bf16, f32 accumulation).
+    """
+    lb_arr = np.asarray(lb, np.float32)
+    ub_arr = np.asarray(ub, np.float32)
+    sdt_name = str(jnp.dtype(stream_dtype or jnp.float32))
+
+    def _prep_all(params, batch):
+        X, u = batch["X_u"], batch["u"]
+        n = X.shape[0]
+        dtype = X.dtype
+        w = jnp.full((n,), 1.0 / n, dtype)
+        aux = jnp.stack([u[:, 0], w, w])     # (3, N): target, w_d, w_f
+        a0, z1row, z2row, wt_args, vx, vt = _prep(params.net, X, lb_arr,
+                                                  ub_arr, dtype)
+        a0p, n_tot = _pad_points(a0, n, TILE)
+        if n_tot != n:  # padding: w_d = w_f = 0 kills loss and grads
+            aux = jnp.pad(aux, ((0, 0), (0, n_tot - n)))
+        lam = jnp.stack([params.lambda1[0],
+                         jnp.exp(params.log_lambda2[0])]
+                        ).reshape(1, 2).astype(jnp.float32)
+        sdt = jnp.dtype(sdt_name)
+        if sdt != a0p.dtype:  # bf16 streams: cast kernel inputs once
+            a0p = a0p.astype(sdt)
+            z1row = z1row.astype(sdt)
+            z2row = z2row.astype(sdt)
+            wt_args = [a.astype(sdt) for a in wt_args]
+        return a0p, aux, lam, z1row, z2row, wt_args, vx, vt
+
+    @jax.custom_vjp
+    def loss(params, batch):
+        a0p, aux, lam, z1row, z2row, wt_args, _, _ = _prep_all(params,
+                                                               batch)
+        return _ide_loss_call(tuple(wt_args), a0p, aux, lam, z1row,
+                              z2row, interpret=interpret,
+                              sdt_name=sdt_name)
+
+    def loss_fwd(params, batch):
+        a0p, aux, lam, z1row, z2row, wt_args, vx, vt = _prep_all(params,
+                                                                 batch)
+        val, gwt, gz1row, gz2row, glam = _ide_loss_grad_call(
+            tuple(wt_args), a0p, aux, lam, z1row, z2row,
+            interpret=interpret, sdt_name=sdt_name)
+        return val, (params, batch, gwt, gz1row, gz2row, glam, vx, vt)
+
+    def loss_bwd(res, g):
+        from pinn.problems.burgers import IdeParams
+        params, batch, gwt, gz1row, gz2row, glam, vx, vt = res
+        net_g = _assemble_net_grads(params.net, gwt, gz1row, gz2row,
+                                    vx, vt, g)
+        # d loss / d lambda1 = A1; chain the exp reparameterization
+        # for lambda2: d loss / d log_lambda2 = -exp(l2) * A2.
+        l2 = jnp.exp(params.log_lambda2)
+        g_l1 = (g * glam[0, 0]).reshape(1).astype(params.lambda1.dtype)
+        g_logl2 = (-g * glam[0, 1] * l2[0]).reshape(1).astype(
+            params.log_lambda2.dtype)
+        grads = IdeParams(net=net_g, lambda1=g_l1, log_lambda2=g_logl2)
+        zero_batch = jax.tree_util.tree_map(jnp.zeros_like, batch)
+        return grads, zero_batch
+
+    loss.defvjp(loss_fwd, loss_bwd)
     return loss

@@ -213,3 +213,106 @@ def test_dp_fused_loss_matches_unsharded():
 
     with pytest.raises(ValueError, match="must divide the mesh"):
         dp(params, {**batch, "X_f": X_f[:2047]})
+
+
+# ---------------------------------------------------------------------------
+# Fused identification kernel (trainable lambda1, exp(lambda2))
+# ---------------------------------------------------------------------------
+
+def _ide_setup(layers, n, seed=0, l1=0.8, logl2=-5.0):
+    params, X, lb, ub = _setup(layers, n, seed)
+    rng = np.random.RandomState(seed + 1)
+    ide = burgers.IdeParams(
+        net=params,
+        lambda1=jnp.full((1,), l1, jnp.float32),
+        log_lambda2=jnp.full((1,), logl2, jnp.float32))
+    batch = {"X_u": X, "u": jnp.asarray(rng.rand(n, 1), jnp.float32)}
+    return ide, batch, lb, ub
+
+
+@pytest.mark.parametrize("layers,n", [
+    ([2, 20, 20, 20, 1], 300),       # ragged: exercises the pad mask
+    ([2, 20, 20, 20, 20, 20, 20, 20, 20, 1], 2048),  # flagship depth
+    ([2, 16, 1], 1024),              # single hidden layer
+])
+def test_ide_loss_and_grads_match_oracle(layers, n):
+    """Fused identification loss + ALL grads (net weights AND the two
+    lambda trainables through the exp reparameterization) vs the
+    jax.grad oracle of loss_cont_identification."""
+    ide, batch, lb, ub = _ide_setup(layers, n)
+    loss = pallas_train.make_burgers_ide_loss(lb, ub, interpret=True)
+
+    def oracle(p, b):
+        return burgers.loss_cont_identification(
+            p, b["X_u"], b["u"], jnp.asarray(lb), jnp.asarray(ub))
+
+    val, grads = jax.value_and_grad(loss)(ide, batch)
+    want_val, want_grads = jax.value_and_grad(oracle)(ide, batch)
+    np.testing.assert_allclose(float(val), float(want_val), rtol=1e-5)
+    for (gw1, gb1), (gw2, gb2) in zip(grads.net, want_grads.net):
+        scale = max(1e-3, float(jnp.max(jnp.abs(gw2))))
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=5e-4, atol=5e-6 * scale)
+        np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2),
+                                   rtol=5e-4, atol=5e-6 * scale)
+    np.testing.assert_allclose(float(grads.lambda1[0]),
+                               float(want_grads.lambda1[0]), rtol=1e-4)
+    np.testing.assert_allclose(float(grads.log_lambda2[0]),
+                               float(want_grads.log_lambda2[0]), rtol=1e-4)
+
+
+def test_ide_loss_lambda_values_enter_residual():
+    """The SMEM lambda scalars must actually drive the residual: the
+    fused loss evaluated at two different (l1, l2) pairs matches the
+    oracle at each."""
+    ide, batch, lb, ub = _ide_setup([2, 16, 1], 512)
+    loss = pallas_train.make_burgers_ide_loss(lb, ub, interpret=True)
+    for l1, logl2 in [(0.0, -6.0), (1.3, -4.0)]:
+        p = ide._replace(lambda1=jnp.full((1,), l1, jnp.float32),
+                         log_lambda2=jnp.full((1,), logl2, jnp.float32))
+        want = burgers.loss_cont_identification(
+            p, batch["X_u"], batch["u"], jnp.asarray(lb), jnp.asarray(ub))
+        np.testing.assert_allclose(float(loss(p, batch)), float(want),
+                                   rtol=1e-5)
+
+
+def test_experiment_fused_ide_hp_matches_xla_path():
+    """hp["fused_residual"] routes ide_cont_burgers through the fused
+    identification kernel with the same training outcome."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments"))
+    import ide_cont_burgers
+
+    hp = {"N_u": 500, "layers": [2, 20, 20, 1],
+          "tf_epochs": 20, "nt_epochs": 20, "log_frequency": 100}
+    base = ide_cont_burgers.run(dict(hp))
+    fused = ide_cont_burgers.run({**hp, "fused_residual": True})
+    # lambda1 sits near 0 this early in training, so compare with an
+    # absolute tolerance: f32 summation-order differences between the
+    # two engines drift the 40-step trajectories by ~1e-4.
+    np.testing.assert_allclose(fused["lambdas"], base["lambdas"],
+                               rtol=1e-2, atol=5e-4)
+
+
+def test_fused_loss_under_global_x64():
+    """Regression: the mixed-precision Trainer (nt_vector_dtype=
+    float64) enables jax_enable_x64 globally; pallas index maps then
+    promote to i64 and Mosaic rejects the kernel unless the call traces
+    with x64 pinned off (_x64_safe_jit).  Interpret mode checks the
+    trace path; the compiled path is covered by the tpu tier."""
+    with jax.enable_x64(True):
+        params, X_f, lb, ub = _setup([2, 16, 1], 600)
+        rng = np.random.RandomState(2)
+        batch = {"X_u": jnp.asarray(rng.rand(16, 2), jnp.float32),
+                 "u": jnp.asarray(rng.rand(16, 1), jnp.float32),
+                 "X_f": X_f}
+        loss = pallas_train.make_burgers_loss(lb, ub, NU, interpret=True)
+        val, grads = jax.value_and_grad(loss)(params, batch)
+        want = burgers.loss_cont_inference(
+            params, batch["X_u"], batch["u"], X_f,
+            jnp.asarray(lb), jnp.asarray(ub), NU)
+        np.testing.assert_allclose(float(val), float(want), rtol=1e-5)
+        assert all(np.isfinite(np.asarray(a)).all()
+                   for wb in grads for a in wb)
