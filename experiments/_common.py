@@ -59,21 +59,34 @@ def resolve_dtype(hp):
     return jnp.dtype(name)
 
 
-def maybe_load_params(hp, params):
+def _case_path(path: str, case) -> str:
+    """Suffix a checkpoint path per sub-case: the identification
+    experiments train clean AND noisy models inside one run(), and a
+    multi-stage chain must warm-start each case from ITS OWN stage-1
+    result, not whichever case saved last."""
+    if not case:
+        return path
+    root, ext = os.path.splitext(path)
+    return f"{root}-{case}{ext or '.npz'}"
+
+
+def maybe_load_params(hp, params, case=None):
     """hp["init_checkpoint"]: warm-start from a saved flat-vector npz
     (two-stage precision schedules, resumed runs)."""
     path = hp.get("init_checkpoint")
     if path:
         from pinn.utils import checkpoint
+        path = _case_path(path, case)
         params, _ = checkpoint.load_npz(path, like=params)
         print(f"Loaded initial parameters from {path}")
     return params
 
 
-def maybe_save_params(hp, params):
+def maybe_save_params(hp, params, case=None):
     """hp["save_checkpoint"]: persist the trained parameters."""
     path = hp.get("save_checkpoint")
     if path:
         from pinn.utils import checkpoint
+        path = _case_path(path, case)
         checkpoint.save_npz_atomic(path, params, hp=hp)
         print(f"Saved checkpoint to {path}")

@@ -67,7 +67,8 @@ def train_once(hp, dtype, noise: float, logger):
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
     params0 = burgers.init_ide_params(net, dtype)
-    params0 = maybe_load_params(hp, params0)
+    case = "noisy" if noise else None
+    params0 = maybe_load_params(hp, params0, case)
 
     if hp.get("fused_residual"):
         # Fused Pallas identification kernel: loss + net grads + both
@@ -95,7 +96,7 @@ def train_once(hp, dtype, noise: float, logger):
                       epoch_extra=epoch_extra)
     logger.set_error_fn(lambda: lambda_error(trainer.params))
     params = trainer.fit()
-    maybe_save_params(hp, params)
+    maybe_save_params(hp, params, case)
     return params, data, lb, ub
 
 

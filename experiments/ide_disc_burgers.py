@@ -78,7 +78,8 @@ def train_once(hp, dtype, noise: float, logger):
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
     params0 = burgers.init_ide_params(net, dtype)
-    params0 = maybe_load_params(hp, params0)
+    case = "noisy" if noise else None
+    params0 = maybe_load_params(hp, params0, case)
 
     def loss_fn(p, b):
         return burgers.loss_disc_identification(
@@ -93,7 +94,7 @@ def train_once(hp, dtype, noise: float, logger):
                       epoch_extra=epoch_extra)
     logger.set_error_fn(lambda: lambda_error(trainer.params))
     params = trainer.fit()
-    maybe_save_params(hp, params)
+    maybe_save_params(hp, params, case)
 
     # Stage-map predictions at arbitrary x (reference
     # ide_disc_burgers.py predict: U_0_model/U_1_model on x_star).

@@ -131,7 +131,8 @@ def train_once(hp, dtype, noise: float, logger):
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
     params0 = kdv.init_ide_params(net, dtype)
-    params0 = maybe_load_params(hp, params0)
+    case = "noisy" if noise else None
+    params0 = maybe_load_params(hp, params0, case)
 
     def loss_fn(p, b):
         return kdv.loss_disc_identification(
@@ -146,7 +147,7 @@ def train_once(hp, dtype, noise: float, logger):
                       epoch_extra=epoch_extra)
     logger.set_error_fn(lambda: kdv.lambda_error(trainer.params))
     params = trainer.fit()
-    maybe_save_params(hp, params)
+    maybe_save_params(hp, params, case)
 
     predict_stages = jax.jit(lambda p, x: kdv.disc_ide_stage_maps(
         p, x, lbj, ubj, data.dt, alpha, beta))

@@ -75,6 +75,14 @@ class LbfgsConfig(NamedTuple):
     # restart=True the history is cleared and the next iteration retries
     # from steepest descent, stopping only if that also fails.
     restart: bool = False
+    # Search-direction implementation.  "scan": the literal two-loop
+    # recursion (4m sequential P-length dots — bit-stable vs the
+    # reference trajectory A/B).  "matrix": the same recursion solved in
+    # matrix form (one (m,P)@(P,m) Gram matmul + two m-size unit-
+    # triangular solves + four matvecs) — algebraically identical,
+    # MXU-shaped, ~10 device ops instead of ~4m; floating-point
+    # summation order differs at machine epsilon.
+    dir_impl: str = "scan"
 
     def resolved_max_eval(self) -> int:
         if self.max_eval:
@@ -180,6 +188,60 @@ def _two_loop(g, S, Y, k, head, hdiag, m):
     return r_vec
 
 
+def _two_loop_matrix(g, S, Y, k, head, hdiag, m):
+    """The two-loop recursion in matrix form — algebraically identical
+    direction, restructured for the MXU.
+
+    Unrolling the backward loop (newest-to-oldest) gives, in
+    oldest-first logical order with Gram matrix ``G[a, b] = s_a·y_b``:
+
+        (I + R·triu(G, 1)) α = R·S(−g),      R = diag(ρ), ρ_a = 1/G[a,a]
+
+    a unit-UPPER-triangular m×m system (each α depends only on newer
+    α's).  The forward loop similarly becomes a unit-LOWER system for
+    β with the strict lower triangle of ``Gᵀ`` (y_a·s_b, b < a):
+
+        (I + R·tril(Gᵀ,−1)) β = R·(Y r₀ + tril(Gᵀ,−1) α)
+
+    and the direction is ``r = r₀ + (α − β)ᵀ S`` with
+    ``r₀ = hdiag·(−g − αᵀ Y)``.  Invalid (unfilled) slots get ρ = 0,
+    which zeroes their α/β rows exactly as the scan's masking does.
+    One (m,P)@(P,m) matmul + 2 triangular solves + 4 matvecs replace
+    4m sequential P-length dots — the scan's per-op dispatch latency
+    was the L-BFGS throughput ceiling at small P (BENCH r1-r3: flat
+    ~1.9k iters/s while the fused Adam step ran 3.7k/s).
+    """
+    dt = g.dtype
+    rows = (head - k + jnp.arange(m)) % m      # logical oldest-first
+    Sl = jnp.take(S, rows, axis=0)
+    Yl = jnp.take(Y, rows, axis=0)
+    valid = jnp.arange(m) < k
+    G = Sl @ Yl.T                               # G[a, b] = s_a · y_b
+    diag = jnp.diagonal(G)
+    rho = jnp.where(valid, 1.0 / jnp.where(valid, diag, 1.0),
+                    jnp.zeros((), dt))
+    eye = jnp.eye(m, dtype=dt)
+
+    A = eye + rho[:, None] * jnp.triu(G, 1)
+    alpha = jax.scipy.linalg.solve_triangular(
+        A, rho * (Sl @ (-g)), lower=False, unit_diagonal=True)
+
+    r0 = hdiag * (-g - alpha @ Yl)
+    Lm = jnp.tril(G.T, -1)                      # y_a · s_b for b < a
+    B = eye + rho[:, None] * Lm
+    beta = jax.scipy.linalg.solve_triangular(
+        B, rho * (Yl @ r0 + Lm @ alpha), lower=True, unit_diagonal=True)
+    return r0 + (alpha - beta) @ Sl
+
+
+def _direction(config: LbfgsConfig, g, S, Y, k, head, hdiag, m):
+    if config.dir_impl == "matrix":
+        return _two_loop_matrix(g, S, Y, k, head, hdiag, m)
+    if config.dir_impl != "scan":
+        raise ValueError(f"unknown dir_impl {config.dir_impl!r}")
+    return _two_loop(g, S, Y, k, head, hdiag, m)
+
+
 def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
           batch: Any, lossfunc=None) -> LbfgsState:
     if lossfunc is None:
@@ -202,7 +264,8 @@ def _step(opfunc: OpFunc, config: LbfgsConfig, state: LbfgsState,
     hdiag = jnp.where(do_update, ys / jnp.vdot(y, y), state.hdiag)
 
     # ---- search direction ----
-    d = jnp.where(first, -state.g, _two_loop(state.g, S, Y, k, head, hdiag, m))
+    d = jnp.where(first, -state.g,
+                  _direction(config, state.g, S, Y, k, head, hdiag, m))
 
     gtd = jnp.vdot(state.g, d)
     no_progress = gtd > -config.tol_x

@@ -33,6 +33,10 @@ def lbfgs_config_from_hp(hp: dict) -> lb.LbfgsConfig:
         n_correction=hp.get("nt_ncorr", 50),
         tol_fun=float(np.finfo(np.float64).eps),
         line_search=hp.get("nt_line_search", "none"),
+        # "matrix": MXU-form two-loop (identical algebra, ~4m fewer
+        # device ops per iteration — the throughput choice); "scan"
+        # default keeps reference-trajectory bit-stability.
+        dir_impl=hp.get("nt_dir_impl", "scan"),
         # With a line search, restart (clear history) on non-descent
         # directions instead of stopping; strict-parity "none" keeps
         # the reference's stop-on-no-progress behavior.

@@ -94,3 +94,19 @@ def test_serving_example_e2e(tmp_path):
     assert r["artifact"].endswith(".jaxexp")
     # Smoke schedule: only sanity-bound the error (member errors ~0.5).
     assert r["error"] <= max(r["member_errors"]) + 1e-9
+
+
+def test_ide_two_stage_checkpoint_chain(tmp_path):
+    """Multi-stage precision schedules for the identification
+    experiments: the clean and noisy sub-runs save/load PER-CASE
+    checkpoint files (st.npz / st-noisy.npz), so a stage-2 warm start
+    resumes each case from its own stage-1 result."""
+    import ide_cont_burgers as m
+    ck = str(tmp_path / "st1.npz")
+    hp = {"N_u": 100, "layers": [2, 8, 1], "tf_epochs": 5, "nt_epochs": 5,
+          "log_frequency": 100}
+    m.run({**hp, "save_checkpoint": ck})
+    assert os.path.exists(ck)
+    assert os.path.exists(str(tmp_path / "st1-noisy.npz"))
+    r = m.run({**hp, "init_checkpoint": ck})
+    assert np.isfinite(r["error"])

@@ -244,3 +244,84 @@ def test_wolfe_beats_or_matches_armijo_on_quadratic():
         config = lb.LbfgsConfig(max_iter=40, n_correction=10, line_search=ls)
         gap[ls] = float(lb.minimize(opfunc, x0, config).f) - f_star
     assert gap["wolfe"] <= gap["armijo"] + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Matrix-form direction (dir_impl="matrix")
+# ---------------------------------------------------------------------------
+
+def _random_history(m, p, k, head, seed, dtype=jnp.float64):
+    """A ring buffer as _step would build it: k filled slots ending at
+    ring position head-1, unwritten slots exactly zero, every filled
+    pair curvature-valid (y.s > 0)."""
+    rng = np.random.RandomState(seed)
+    S = np.zeros((m, p))
+    Y = np.zeros((m, p))
+    for j in range(k):
+        r = (head - k + j) % m
+        s = rng.randn(p)
+        y = rng.randn(p)
+        y = y + (1.0 - (y @ s)) / (s @ s) * s  # force y.s = 1 > 0
+        S[r], Y[r] = s, y
+    g = rng.randn(p)
+    return (jnp.asarray(g, dtype), jnp.asarray(S, dtype),
+            jnp.asarray(Y, dtype))
+
+
+import pytest
+
+
+@pytest.mark.parametrize("m,k,head", [
+    (10, 0, 0),     # empty history -> pure -hdiag*g
+    (10, 4, 4),     # partially filled, no wrap
+    (10, 10, 3),    # full ring, wrapped head
+    (50, 17, 2),    # flagship depth, wrapped partial
+])
+def test_matrix_direction_matches_scan(m, k, head):
+    """The MXU-form direction is the SAME recursion: equal to the scan
+    two-loop to f64 roundoff on random valid histories, including ring
+    wrap and unfilled-slot masking."""
+    p = 73
+    g, S, Y = _random_history(m, p, k, head, seed=m + k + head)
+    hdiag = jnp.asarray(0.37, jnp.float64)
+    d_scan = lb._two_loop(g, S, Y, jnp.int32(k), jnp.int32(head), hdiag, m)
+    d_mat = lb._two_loop_matrix(g, S, Y, jnp.int32(k), jnp.int32(head),
+                                hdiag, m)
+    np.testing.assert_allclose(np.asarray(d_mat), np.asarray(d_scan),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_matrix_dir_impl_full_run_matches_scan():
+    """End-to-end: minimizing the same quadratic with dir_impl="matrix"
+    lands on the same trajectory as "scan" to tight f64 tolerance."""
+    opfunc, x_star = quad_opfunc(dim=30, seed=9)
+    x0 = jnp.zeros_like(x_star)
+    states = {}
+    for impl in ("scan", "matrix"):
+        config = lb.LbfgsConfig(learning_rate=1.0, max_iter=60,
+                                n_correction=10, dir_impl=impl)
+        states[impl] = lb.minimize(opfunc, x0, config)
+    # Direction differences are pure f64 roundoff but amplify along the
+    # trajectory; 60 iterations stay within ~1e-9 of each other.
+    np.testing.assert_allclose(np.asarray(states["matrix"].x),
+                               np.asarray(states["scan"].x),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(states["matrix"].x),
+                               np.asarray(x_star), rtol=1e-6, atol=1e-8)
+
+
+def test_matrix_dir_impl_rosenbrock_wolfe():
+    """Non-convex + line search + history wrap: matrix direction still
+    converges on Rosenbrock under Wolfe."""
+    def opfunc(x, batch=None):
+        f = (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+        return f, jax.grad(
+            lambda z: (1 - z[0]) ** 2 + 100 * (z[1] - z[0] ** 2) ** 2)(x)
+
+    x0 = jnp.asarray([-1.2, 1.0], jnp.float64)
+    config = lb.LbfgsConfig(max_iter=150, n_correction=8,
+                            line_search="wolfe", dir_impl="matrix",
+                            restart=True)
+    state = lb.minimize(opfunc, x0, config)
+    np.testing.assert_allclose(np.asarray(state.x), np.ones(2),
+                               rtol=1e-6, atol=1e-8)
