@@ -349,20 +349,17 @@ def main():
     elif backend == "tpu":
         log(f"skipping bf16 fused section ({remaining():.0f}s budget left)")
 
-    # --- Optional: L-BFGS iterations/sec.
-    if remaining() > 90:
+    # --- Optional: L-BFGS iterations/sec — XLA opfunc with the scan
+    # two-loop (the r1-r3 comparable number), then the round-4
+    # throughput path: fused-kernel opfunc x matrix-form two-loop.
+    flat, unravel = pcodec.ravel_with_unravel(params)
+
+    def time_lbfgs(opfunc, config, label):
         chunk = 10
         reps = 5 if smoke else 50
-        flat, unravel = pcodec.ravel_with_unravel(params)
-
-        def opfunc(w, b):
-            return jax.value_and_grad(lambda w_: loss_fn(unravel(w_), b))(w)
-
-        config = lb.LbfgsConfig(learning_rate=0.8, max_iter=10 ** 6,
-                                n_correction=50)
         state = lb.lbfgs_init(opfunc, flat, config, batch)
         run = lb.make_lbfgs_run(opfunc, config)
-        log("compiling lbfgs chunk...")
+        log(f"compiling {label} chunk...")
         t0 = time.time()
         state, _ = run(state, batch, chunk)
         jax.block_until_ready(state.f)
@@ -371,12 +368,42 @@ def main():
         for _ in range(reps):
             state, fh = run(state, batch, chunk)
         jax.block_until_ready(state.f)
-        lbfgs_ips = reps * chunk / (time.time() - t0)
-        log(f"  lbfgs iters/s: {lbfgs_ips:.1f}")
-        record["lbfgs_iters_per_sec"] = round(lbfgs_ips, 2)
+        ips = reps * chunk / (time.time() - t0)
+        log(f"  {label} iters/s: {ips:.1f}")
+        return ips
+
+    def xla_opfunc(w, b):
+        return jax.value_and_grad(lambda w_: loss_fn(unravel(w_), b))(w)
+
+    base_cfg = lb.LbfgsConfig(learning_rate=0.8, max_iter=10 ** 6,
+                              n_correction=50)
+    if remaining() > 90:
+        record["lbfgs_iters_per_sec"] = round(
+            time_lbfgs(xla_opfunc, base_cfg, "lbfgs-xla-scan"), 2)
         emit(record)
     else:
         log(f"skipping lbfgs section ({remaining():.0f}s budget left)")
+
+    if backend == "tpu" and remaining() > 120:
+        try:
+            from pinn.ops.pallas_train import make_burgers_loss
+            fused_loss = make_burgers_loss(lb_, ub_, nu)
+
+            def fused_opfunc(w, b):
+                return jax.value_and_grad(
+                    lambda w_: fused_loss(unravel(w_), b))(w)
+
+            record["lbfgs_fused_iters_per_sec"] = round(
+                time_lbfgs(fused_opfunc, base_cfg, "lbfgs-fused-scan"), 2)
+            record["lbfgs_fused_matrix_iters_per_sec"] = round(
+                time_lbfgs(fused_opfunc,
+                           base_cfg._replace(dir_impl="matrix"),
+                           "lbfgs-fused-matrix"), 2)
+            emit(record)
+        except Exception as e:  # pragma: no cover
+            log(f"fused lbfgs unavailable: {type(e).__name__}: {e}")
+    elif backend == "tpu":
+        log(f"skipping fused lbfgs ({remaining():.0f}s budget left)")
 
     # --- Optional: live TF eager baseline re-measure.  Reported as
     # *_live fields next to the pinned headline ratio — never replacing

@@ -95,6 +95,7 @@ def run(hp=None, plot=False, save_path=None):
     if f_w is not None:
         batch["f_w"] = f_w
 
+    adam_loss_fn = None  # optional warmup-phase loss (bf16 streams)
     if hp.get("fused_residual"):
         # Fused Pallas forward+backward residual kernel (f32): one VMEM
         # pass per point tile, no HBM activation traffic — the
@@ -111,13 +112,24 @@ def run(hp=None, plot=False, save_path=None):
         sdt = ("bfloat16" if str(hp["fused_residual"]).lower()
                in ("bf16", "bfloat16") else None)
         interp = jax.default_backend() != "tpu"
-        if mesh is not None:
-            loss_fn = make_burgers_loss_dp(lb, ub, nu, mesh,
-                                           interpret=interp,
-                                           stream_dtype=sdt)
-        else:
-            loss_fn = make_burgers_loss(lb, ub, nu, interpret=interp,
-                                        stream_dtype=sdt)
+
+        def build_fused(stream):
+            if mesh is not None:
+                return make_burgers_loss_dp(lb, ub, nu, mesh,
+                                            interpret=interp,
+                                            stream_dtype=stream)
+            return make_burgers_loss(lb, ub, nu, interpret=interp,
+                                     stream_dtype=stream)
+
+        loss_fn = build_fused(sdt)
+        if str(hp.get("tf_net_dtype", "")).lower() in ("bf16", "bfloat16"):
+            # bf16 warmup on the fused path: the Adam phase optimizes
+            # the bf16-STREAM variant of the same kernel (f32 master
+            # weights in/out — the fused custom_vjp emits f32 gradients,
+            # so the AdamRunner cast wrapper must not also quantize the
+            # params); L-BFGS keeps the exact kernel.
+            adam_loss_fn = build_fused("bfloat16")
+            hp = {k: v for k, v in hp.items() if k != "tf_net_dtype"}
     else:
         def loss_fn(p, b):
             return burgers.loss_cont_inference(p, b["X_u"], b["u"],
@@ -180,7 +192,7 @@ def run(hp=None, plot=False, save_path=None):
 
     logger = Logger(hp)
     trainer = Trainer(loss_fn, net, batch, hp, logger, mesh=mesh,
-                      resample_fn=resample_fn)
+                      resample_fn=resample_fn, adam_loss_fn=adam_loss_fn)
     holder["trainer"] = trainer
 
     def error():

@@ -89,6 +89,7 @@ def run(hp=None, plot=False, save_path=None):
     net = mlp.init_mlp(key, hp["layers"], dtype)
     net = maybe_load_params(hp, net)
 
+    adam_loss_fn = None  # optional warmup-phase loss (bf16 streams)
     if hp.get("fused_residual"):
         # Fused Pallas forward+backward residual kernel (f32): one
         # launch per step covers the N_f residual term; IC/BC terms
@@ -105,14 +106,25 @@ def run(hp=None, plot=False, save_path=None):
         sdt = ("bfloat16" if str(hp["fused_residual"]).lower()
                in ("bf16", "bfloat16") else None)
         interp = jax.default_backend() != "tpu"
-        if mesh is not None:
-            loss_fn = make_schrodinger_loss_dp(
-                np.asarray(data.lb), np.asarray(data.ub), mesh,
-                interpret=interp, stream_dtype=sdt)
-        else:
-            loss_fn = make_schrodinger_loss(
+
+        def build_fused(stream):
+            if mesh is not None:
+                return make_schrodinger_loss_dp(
+                    np.asarray(data.lb), np.asarray(data.ub), mesh,
+                    interpret=interp, stream_dtype=stream)
+            return make_schrodinger_loss(
                 np.asarray(data.lb), np.asarray(data.ub),
-                interpret=interp, stream_dtype=sdt)
+                interpret=interp, stream_dtype=stream)
+
+        loss_fn = build_fused(sdt)
+        if str(hp.get("tf_net_dtype", "")).lower() in ("bf16", "bfloat16"):
+            # bf16 warmup on the fused path: Adam optimizes the
+            # bf16-stream variant (f32 master weights — the fused
+            # custom_vjp emits f32 gradients, so the AdamRunner cast
+            # wrapper must not also quantize); L-BFGS keeps the exact
+            # kernel.
+            adam_loss_fn = build_fused("bfloat16")
+            hp = {k: v for k, v in hp.items() if k != "tf_net_dtype"}
     else:
         def loss_fn(p, b):
             return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"],
@@ -153,7 +165,7 @@ def run(hp=None, plot=False, save_path=None):
 
     trainer = Trainer(loss_fn, net, batch, hp, logger,
                       epoch_extra=epoch_extra, mesh=mesh,
-                      resample_fn=resample_fn)
+                      resample_fn=resample_fn, adam_loss_fn=adam_loss_fn)
 
     def error():
         H = np.asarray(predict_h(trainer.params, X_star))

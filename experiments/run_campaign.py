@@ -27,8 +27,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Recipe per RESULTS.md: mixed precision (f32 net + f64 L-BFGS vectors)
 # is the fast path; a float64 warm-start refinement stage squeezes the
 # last 2x of error where it matters (lists = stages chained through a
-# checkpoint).
-MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000}
+# checkpoint).  Round 4: the mixed stages run on the FUSED Pallas
+# kernel (measured 3.9x the XLA mixed stage at equal schedule and
+# error-neutral, logs/fused_ab2.log; run_one drops the key off-TPU
+# where interpret mode would crawl).
+# bf16 warmup is the campaign default (VERDICT r3 item #8): measured
+# 1.32x step rate at the flagship N_f and error-neutral at equal
+# schedule (RESULTS.md bf16 section; guard test
+# test_experiment_fused_bf16_warmup_matches_f32_warmup).  On the fused
+# path the Adam phase runs the bf16-STREAM kernel; L-BFGS always
+# refines on the exact engine.
+MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000,
+         "fused_residual": True, "tf_net_dtype": "bfloat16"}
 CAMPAIGN = {
     "inf_cont_burgers": [
         # Measured 5.93e-4 rel-L2 at seed 1234 (beats the paper's
@@ -109,6 +119,10 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
         if f32:
             hp["dtype"] = "float32"
             hp.pop("nt_vector_dtype", None)
+        if jax.default_backend() != "tpu":
+            # The fused kernels only pay on the chip; interpret mode
+            # (CPU) would be orders of magnitude slower than XLA.
+            hp.pop("fused_residual", None)
         if ckpt:
             hp["init_checkpoint"] = ckpt
         if i + 1 < len(stages):
@@ -120,9 +134,13 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
     if ckpt and os.path.exists(ckpt):
         os.remove(ckpt)
     dur = time.time() - t0
-    dtype_desc = "+".join(
-        h.get("dtype", "f32" + ("/f64vec" if h.get("nt_vector_dtype")
-                                else "")) for h in executed)
+
+    def _stage_desc(h):
+        d = h.get("dtype", "f32" + ("/f64vec" if h.get("nt_vector_dtype")
+                                    else ""))
+        return ("fused-" + d) if h.get("fused_residual") else d
+
+    dtype_desc = "+".join(_stage_desc(h) for h in executed)
     return {"experiment": name, "error": result["error"],
             "duration_s": round(dur, 1),
             "backend": jax.default_backend(),

@@ -88,7 +88,13 @@ class Trainer:
                  batch: Any, hp: dict, logger: Optional[Logger] = None,
                  epoch_extra: Optional[Callable[[Any], str]] = None,
                  mesh=None, resample_fn: Optional[Callable[[int], Any]] = None,
-                 params_callback: Optional[Callable[[Any], None]] = None):
+                 params_callback: Optional[Callable[[Any], None]] = None,
+                 adam_loss_fn: Optional[Callable[[Any, Any],
+                                                 jnp.ndarray]] = None):
+        # adam_loss_fn (optional): a cheaper warmup-phase loss — e.g.
+        # the bf16-stream fused kernel — optimized during the Adam
+        # phase only; L-BFGS always refines against loss_fn (warmup-
+        # grade precision must not leak into the quasi-Newton stage).
         self.loss_fn = loss_fn
         self.mesh = mesh
         # Called with the current params pytree right before every log
@@ -128,7 +134,8 @@ class Trainer:
         if self.save_every and not self.save_path:
             raise ValueError("hp['save_every'] requires hp['save_checkpoint'] "
                              "(the path periodic saves write to)")
-        self.adam = AdamRunner(loss_fn, hp) if self.tf_epochs > 0 else None
+        self.adam = (AdamRunner(adam_loss_fn or loss_fn, hp)
+                     if self.tf_epochs > 0 else None)
         self.last_lbfgs_state: Optional[lb.LbfgsState] = None
 
     # -- logging helpers ---------------------------------------------------

@@ -316,3 +316,24 @@ def test_fused_loss_under_global_x64():
         np.testing.assert_allclose(float(val), float(want), rtol=1e-5)
         assert all(np.isfinite(np.asarray(a)).all()
                    for wb in grads for a in wb)
+
+
+def test_experiment_fused_bf16_warmup_matches_f32_warmup():
+    """hp["tf_net_dtype"]="bfloat16" on the fused path: Adam optimizes
+    the bf16-stream kernel (f32 master weights), L-BFGS refines on the
+    exact f32 kernel — equal-schedule outcome must stay in the same
+    ballpark as the all-f32 run (warmup-grade precision by design)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments"))
+    import inf_cont_burgers
+
+    hp = {"N_u": 50, "N_f": 1000, "layers": [2, 20, 20, 1],
+          "tf_epochs": 30, "nt_epochs": 20, "log_frequency": 100,
+          "fused_residual": True}
+    base = inf_cont_burgers.run(dict(hp))
+    bf16 = inf_cont_burgers.run({**hp, "tf_net_dtype": "bfloat16"})
+    assert np.isfinite(bf16["error"])
+    assert abs(bf16["error"] - base["error"]) < 0.5 * base["error"], \
+        (bf16["error"], base["error"])
