@@ -32,8 +32,8 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["average_predictions", "inverse_metric_weights", "rel_l2",
-           "triangle_bound", "EnsemblePINN"]
+__all__ = ["average_predictions", "inverse_metric_weights", "median_predictions",
+           "rel_l2", "triangle_bound", "EnsemblePINN"]
 
 
 def rel_l2(u_true, u_pred) -> float:
@@ -84,6 +84,28 @@ def average_predictions(preds: Sequence[np.ndarray],
         raise ValueError("weights must not all be zero")
     w = w / s
     return sum(wi * p for wi, p in zip(w, preds))
+
+
+def median_predictions(preds: Sequence[np.ndarray]) -> np.ndarray:
+    """Pointwise median of member predictions.
+
+    The robust aggregator for 3+ arms: where averaging dilutes one good
+    arm with a bad one (the P14 regime — uniform mean of a 5.9e-4 and a
+    2.7e-3 arm lands at 1.6e-3), the pointwise median of an ODD number
+    of arms follows the majority behavior at every grid point, so a
+    single bad-basin arm is voted out wherever the other two agree.  No
+    triangle-inequality guarantee (the median is not a convex
+    combination with fixed weights), but the failure mode requires TWO
+    arms wrong at the same points.
+    """
+    preds = [np.asarray(p) for p in preds]
+    if not preds:
+        raise ValueError("need at least one prediction")
+    shape = preds[0].shape
+    for p in preds[1:]:
+        if p.shape != shape:
+            raise ValueError(f"prediction shapes differ: {shape} vs {p.shape}")
+    return np.median(np.stack(preds, axis=0), axis=0)
 
 
 def triangle_bound(errors: Sequence[float],

@@ -96,3 +96,49 @@ def test_val_metric_uses_no_test_data(tb):
     import inspect
     src = inspect.getsource(tb.val_metric)
     assert "u_star" not in src and "X_star" not in src
+
+
+def test_p15_median_arms_votes_out_one_bad_arm(tb, monkeypatch):
+    """P15 combines three arms by pointwise median: with two good arms
+    and one bad-basin arm, the median must track the good pair (the
+    regime where P14's uniform average dilutes, RESULTS.md seed
+    matrix)."""
+    rng = np.random.RandomState(0)
+    u_star = rng.randn(400)
+    good1 = u_star + 5e-4 * rng.randn(400)
+    good2 = u_star + 6e-4 * rng.randn(400)
+    bad = u_star + 3e-3 * rng.randn(400)
+    arms = {"P5": _fake_result(u_star, good1),
+            "P10": _fake_result(u_star, bad),
+            "P10b": _fake_result(u_star, good2)}
+    monkeypatch.setattr(tb, "_execute", lambda name, seed: arms[name])
+    monkeypatch.setattr(tb, "val_metric", lambda r: r["error"] ** 2)
+
+    row = tb.run_probe("P15", seed=1)
+    assert set(row["arm_errors"]) == {"P5", "P10", "P10b"}
+    # Median beats the uniform average AND every bound the average has.
+    assert row["error_median"] < row["error_uniform"]
+    assert row["error"] == row["error_median"]
+    # The bad arm is voted out: median error lands near the good arms.
+    assert row["error_median"] < 1.5 * arms["P5"]["error"]
+
+
+def test_p10b_uses_salted_start_pool(tb):
+    """P10b must decorrelate its multi-start pool from P10 via
+    start_salt (otherwise the 'independent' third arm is a replay)."""
+    assert tb.PROBES["P10b"]["start_salt"] != 0
+    assert tb.PROBES["P10"].get("start_salt", 0) == 0
+    assert tb.PROBES["P15"]["median_arms"] == ["P5", "P10", "P10b"]
+
+
+def test_median_predictions_shape_and_majority():
+    from pinn import ensemble as ens
+    a = np.zeros((5,))
+    b = np.ones((5,))
+    c = np.full((5,), 0.1)
+    med = ens.median_predictions([a, b, c])
+    np.testing.assert_allclose(med, c)  # middle value pointwise
+    with pytest.raises(ValueError):
+        ens.median_predictions([a, np.zeros((4,))])
+    with pytest.raises(ValueError):
+        ens.median_predictions([])
