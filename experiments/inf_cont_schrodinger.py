@@ -134,6 +134,24 @@ def run(hp=None, plot=False, save_path=None):
     terms_fn = jax.jit(lambda p, b: schrodinger.loss_terms(
         p, b["X0"], b["H0"], b["X_lb"], b["X_ub"], b["X_f"], lb, ub,
         b.get("f_w")))
+
+    if hp.get("print_loss_terms"):
+        # Strict observability parity (opt-in): the reference tf.prints
+        # the three loss terms on EVERY loss evaluation (reference
+        # inf_cont_schrodinger.py:128).  jax.debug.print reproduces
+        # that from inside the compiled step via a host callback — it
+        # serializes the hot loop on host round-trips, so it is a
+        # debug/parity mode, never a throughput configuration (the
+        # default prints the same terms at logger cadence instead).
+        base_loss = loss_fn
+
+        def loss_fn(p, b):  # noqa: F811 — deliberate wrap
+            t = schrodinger.loss_terms(p, b["X0"], b["H0"], b["X_lb"],
+                                       b["X_ub"], b["X_f"], lb, ub,
+                                       b.get("f_w"))
+            jax.debug.print("mse_0 {a}    mse_b {b}    mse_f    {c}",
+                            a=t.mse_0, b=t.mse_b, c=t.mse_f)
+            return base_loss(p, b)
     predict_h = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
 
     logger = Logger(hp)

@@ -110,3 +110,16 @@ def test_ide_two_stage_checkpoint_chain(tmp_path):
     assert os.path.exists(str(tmp_path / "st1-noisy.npz"))
     r = m.run({**hp, "init_checkpoint": ck})
     assert np.isfinite(r["error"])
+
+
+def test_schrodinger_print_loss_terms_per_eval(capfd):
+    """Opt-in strict parity with the reference's per-loss-call term
+    printing (reference inf_cont_schrodinger.py:128): every loss
+    evaluation emits one 'mse_0 ...' line via jax.debug.print."""
+    import inf_cont_schrodinger as m
+    m.run({"N_0": 16, "N_b": 16, "N_f": 256, "layers": [2, 16, 2],
+           "tf_epochs": 4, "nt_epochs": 0, "log_frequency": 100,
+           "print_loss_terms": True})
+    out = capfd.readouterr().out
+    # 4 Adam evals + the logger-cadence terms line also prints one.
+    assert out.count("mse_0 ") >= 4, out
