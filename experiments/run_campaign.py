@@ -81,10 +81,19 @@ CAMPAIGN = {
     # conditioned by the IRK coupling, not by dtype precision.
     "ide_disc_kdv": [
         {"tf_epochs": 200, "nt_epochs": 10000, "log_frequency": 1000}],
+    # Beyond-reference family #3: 2D Navier-Stokes identification
+    # (psi-p formulation, 13 mixed-partial Taylor streams) on the exact
+    # Taylor-Green vortex.  f32 default dtype with the f64vec L-BFGS
+    # mixed path; Adam-heavy warmup (the lambda landscape needs the
+    # velocity field fitted before the residual terms identify).
+    "ide_cont_navierstokes": [
+        {"nt_vector_dtype": "float64", "tf_epochs": 5000,
+         "nt_epochs": 10000, "log_frequency": 1000}],
 }
 
 # The reference-parity campaign (default when no names are given).
-_BEYOND_REFERENCE = ("inf_disc_allencahn", "ide_disc_kdv")
+_BEYOND_REFERENCE = ("inf_disc_allencahn", "ide_disc_kdv",
+                     "ide_cont_navierstokes")
 PARITY_NAMES = [n for n in CAMPAIGN if n not in _BEYOND_REFERENCE]
 
 QUICK_OVERRIDES = {"tf_epochs": 50, "nt_epochs": 200, "log_frequency": 50}

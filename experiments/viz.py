@@ -222,3 +222,58 @@ def plot_schrodinger_results(X_star, u_pred, v_pred, h_pred, Exact_h,
     if save_path is not None:
         return save_result_dir(save_path, save_hp or {})
     plt.show()
+
+
+def plot_ide_navierstokes_results(data, u_pred, v_pred, p_pred,
+                                  l1, l1_noisy, l2, l2_noisy,
+                                  save_path=None, save_hp=None):
+    """Navier–Stokes identification figure (beyond-reference family):
+    predicted vs exact (u, v, p) snapshots at mid-time plus the
+    identified-PDE table — the Raissi et al. 2019 Fig. 4 layout class,
+    rendered with the same compact helpers as the Burgers figures."""
+    nx, ny, nt = len(data.x), len(data.y), len(data.t)
+    k = nt // 2
+
+    def frame(flat):
+        return np.asarray(flat).reshape(nx, ny, nt)[:, :, k]
+
+    fields = [("u", frame(data.u_star), frame(u_pred)),
+              ("v", frame(data.v_star), frame(v_pred)),
+              ("p", frame(data.p_star), frame(p_pred))]
+
+    fig, ax = newfig(1.0, 1.6)
+    ax.axis("off")
+    gs = gridspec.GridSpec(3, 2)
+    gs.update(top=0.96, bottom=0.22, left=0.1, right=0.9,
+              hspace=0.55, wspace=0.35)
+    for r, (name, exact, pred) in enumerate(fields):
+        for c, (tag, F) in enumerate([("exact", exact), ("PINN", pred)]):
+            axr = fig.add_subplot(gs[r, c])
+            h = axr.imshow(F.T, interpolation="nearest", cmap="rainbow",
+                           extent=[data.x.min(), data.x.max(),
+                                   data.y.min(), data.y.max()],
+                           origin="lower", aspect="auto")
+            fig.colorbar(h, ax=axr, fraction=0.046, pad=0.04)
+            axr.set_title(f"${name}$ ({tag}), $t={data.t[k]:.2f}$",
+                          fontsize=9)
+            axr.set_xlabel("$x$"); axr.set_ylabel("$y$")
+
+    gs2 = gridspec.GridSpec(1, 1)
+    gs2.update(top=0.14, bottom=0.0, left=0.08, right=0.95)
+    axt = fig.add_subplot(gs2[0, 0])
+    axt.axis("off")
+    rows = [
+        ("Correct PDE",
+         f"$u_t + (u u_x + v u_y) = -p_x + {data.nu:.4f}(u_{{xx}}+u_{{yy}})$"),
+        ("Identified (clean)",
+         f"$u_t + {l1:.5f}(u u_x + v u_y) = -p_x + {l2:.6f}(u_{{xx}}+u_{{yy}})$"),
+        ("Identified (1% noise)",
+         f"$u_t + {l1_noisy:.5f}(u u_x + v u_y) = -p_x + "
+         f"{l2_noisy:.6f}(u_{{xx}}+u_{{yy}})$"),
+    ]
+    for i, (name, eq) in enumerate(rows):
+        axt.text(0.0, 0.8 - 0.35 * i, f"{name}:  {eq}", fontsize=8)
+
+    if save_path is not None:
+        return save_result_dir(save_path, save_hp or {})
+    plt.show()

@@ -1,1 +1,1 @@
-from pinn.problems import allencahn, burgers, kdv, schrodinger
+from pinn.problems import allencahn, burgers, kdv, navierstokes, schrodinger

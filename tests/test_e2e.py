@@ -123,3 +123,20 @@ def test_schrodinger_print_loss_terms_per_eval(capfd):
     out = capfd.readouterr().out
     # 4 Adam evals + the logger-cadence terms line also prints one.
     assert out.count("mse_0 ") >= 4, out
+
+
+def test_ide_cont_navierstokes_e2e():
+    import ide_cont_navierstokes as m
+    from pinn.utils import Logger
+    from datagen.navierstokes_exact import generate
+    hp = {**m.DEFAULT_HP, "N_u": 800, "layers": [3, 20, 20, 20, 2],
+          "tf_epochs": 300, "nt_epochs": 400, "log_frequency": 10 ** 6}
+    data = generate(nx=24, ny=24, nt=7)
+    logger = Logger(hp, print_fn=lambda s: None)
+    params = m.train_once(hp, np.float32, data, noise=0.0, logger=logger)
+    l1, l2 = m.get_lambdas(params)
+    errs, _ = m.field_errors(params, data, np.float32)
+    print("NS e2e:", l1, l2, errs)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert errs["u"] < 0.2, errs   # short-schedule calibration below
+    assert errs["v"] < 0.2, errs

@@ -148,3 +148,17 @@ def test_plot_schrodinger_results(tmp_path, grid):
         lb, ub, x0, tb,
         save_path=str(tmp_path), save_hp={})
     _assert_result_dir(res_dir)
+
+
+def test_plot_ide_navierstokes_results(tmp_path):
+    from datagen.navierstokes_exact import generate
+    d = generate(nx=12, ny=12, nt=3)
+    n = d.X_star.shape[0]
+    rng = np.random.RandomState(0)
+    res_dir = viz.plot_ide_navierstokes_results(
+        d, d.u_star + 0.01 * rng.randn(n, 1),
+        d.v_star + 0.01 * rng.randn(n, 1),
+        d.p_star + 0.01 * rng.randn(n, 1),
+        1.0001, 0.998, 0.0099, 0.0102,
+        save_path=str(tmp_path), save_hp={})
+    _assert_result_dir(res_dir)
