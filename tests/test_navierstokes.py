@@ -172,3 +172,90 @@ def test_loss_gradient_flows_to_lambdas_and_training_descends():
     for _ in range(60):
         p, st, l = step(p, st)
     assert float(l) < l0
+
+
+# ---------------------------------------------------------------------------
+# Spectral DNS datagen (datagen/navierstokes_spectral.py)
+# ---------------------------------------------------------------------------
+
+def _spectral_ops(nx, ny):
+    from datagen.navierstokes_spectral import _wavenumbers
+    kx = _wavenumbers(nx)[:, None]
+    ky = _wavenumbers(ny)[None, :]
+
+    def dx(f):
+        return np.real(np.fft.ifft2(1j * kx * np.fft.fft2(f)))
+
+    def dy(f):
+        return np.real(np.fft.ifft2(1j * ky * np.fft.fft2(f)))
+
+    def lap(f):
+        return np.real(np.fft.ifft2(-(kx ** 2 + ky ** 2) * np.fft.fft2(f)))
+
+    return dx, dy, lap
+
+
+def test_spectral_dns_frames_satisfy_momentum_equation():
+    """The PINN's training target obeys the MOMENTUM equation (not just
+    the vorticity equation the solver integrated): u_t from 4th-order
+    FD across frames matches -(u u_x + v u_y) - p_x + nu lap(u), all
+    spatial derivatives spectral."""
+    from datagen.navierstokes_spectral import generate
+    d = generate(nx=64, ny=64, nt=11, t_max=0.5, substeps=10)
+    nx, ny, nt = len(d.x), len(d.y), len(d.t)
+    U = d.u_star.reshape(nx, ny, nt)
+    V = d.v_star.reshape(nx, ny, nt)
+    P = d.p_star.reshape(nx, ny, nt)
+    dx, dy, lap = _spectral_ops(nx, ny)
+    dtf = d.t[1] - d.t[0]
+    k = nt // 2
+    u_t = (-U[:, :, k + 2] + 8 * U[:, :, k + 1]
+           - 8 * U[:, :, k - 1] + U[:, :, k - 2]) / (12 * dtf)
+    v_t = (-V[:, :, k + 2] + 8 * V[:, :, k + 1]
+           - 8 * V[:, :, k - 1] + V[:, :, k - 2]) / (12 * dtf)
+    u, v, p = U[:, :, k], V[:, :, k], P[:, :, k]
+    res_u = u_t + u * dx(u) + v * dy(u) + dx(p) - d.nu * lap(u)
+    res_v = v_t + u * dx(v) + v * dy(v) + dy(p) - d.nu * lap(v)
+    scale = max(np.abs(u_t).max(), np.abs(v_t).max())
+    assert np.abs(res_u).max() / scale < 1e-4, np.abs(res_u).max() / scale
+    assert np.abs(res_v).max() / scale < 1e-4, np.abs(res_v).max() / scale
+    # Incompressibility (exact in the spectral representation).
+    assert np.abs(dx(u) + dy(v)).max() < 1e-10
+
+
+def test_spectral_dns_lambdas_are_identifiable():
+    """curl((u.grad)u) != 0 and curl(lap u) != 0 — the two conditions
+    under which (lambda1, lambda2) cannot be absorbed by a pressure
+    gauge (unlike Taylor-Green, where curl(adv) == 0 exactly)."""
+    from datagen.navierstokes_spectral import generate
+    d = generate(nx=64, ny=64, nt=3, t_max=0.2, substeps=10)
+    nx, ny, nt = len(d.x), len(d.y), len(d.t)
+    U = d.u_star.reshape(nx, ny, nt)[:, :, -1]
+    V = d.v_star.reshape(nx, ny, nt)[:, :, -1]
+    dx, dy, lap = _spectral_ops(nx, ny)
+    adv_u = U * dx(U) + V * dy(U)
+    adv_v = U * dx(V) + V * dy(V)
+    curl_adv = dx(adv_v) - dy(adv_u)
+    curl_lap = dx(lap(V)) - dy(lap(U))
+    assert np.sqrt((curl_adv ** 2).mean()) > 1e-2
+    assert np.sqrt((curl_lap ** 2).mean()) > 1e-1
+
+    # Taylor-Green CONTRAST: its advection curl vanishes identically.
+    x = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u, v, _ = exact_uvp(0.3, X, Y)
+    adv_u = u * dx(u) + v * dy(u)
+    adv_v = u * dx(v) + v * dy(v)
+    assert np.abs(dx(adv_v) - dy(adv_u)).max() < 1e-10
+
+
+def test_spectral_dns_dt_self_convergence():
+    """Halving dt changes the solution at 4th order (ETDRK4)."""
+    from datagen.navierstokes_spectral import generate
+    u_c = generate(nx=32, ny=32, nt=2, t_max=0.4, substeps=5).u_star
+    u_m = generate(nx=32, ny=32, nt=2, t_max=0.4, substeps=10).u_star
+    u_f = generate(nx=32, ny=32, nt=2, t_max=0.4, substeps=20).u_star
+    e_cm = np.abs(u_c - u_f).max()
+    e_mf = np.abs(u_m - u_f).max()
+    # 4th order: error ratio ~16 between dt and dt/2 (relaxed to >8).
+    assert e_cm / max(e_mf, 1e-16) > 8.0, (e_cm, e_mf)
