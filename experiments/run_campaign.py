@@ -37,8 +37,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # test_experiment_fused_bf16_warmup_matches_f32_warmup).  On the fused
 # path the Adam phase runs the bf16-STREAM kernel; L-BFGS always
 # refines on the exact engine.
+#
+# nt_dir_impl="matrix" (round 4): the MXU-form two-loop direction is
+# the campaign default for BOTH stages — measured 3.7x on the fused
+# mixed stage and 1.27x on the f64 stage at equal schedule with
+# in-noise error (logs/matrix_ab.log; the library default stays "scan"
+# for strict reference-trajectory parity).
 MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000,
-         "fused_residual": True, "tf_net_dtype": "bfloat16"}
+         "fused_residual": True, "tf_net_dtype": "bfloat16",
+         "nt_dir_impl": "matrix"}
 CAMPAIGN = {
     "inf_cont_burgers": [
         # Measured 5.93e-4 rel-L2 at seed 1234 (beats the paper's
@@ -47,30 +54,30 @@ CAMPAIGN = {
         # refinement (probe P5, experiments/tune_burgers.py).
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ],
     "inf_cont_schrodinger": [
         {**MIXED, "tf_epochs": 2000, "tf_lr": 1e-3, "tf_b1": 0.9,
          "tf_eps": None, "nt_epochs": 15000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 6000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 6000,
          "log_frequency": 1000},
     ],
     "inf_disc_burgers": [
-        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 5000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 1000, "nt_epochs": 5000,
          "log_frequency": 1000}],
     "ide_cont_burgers": [
-        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 1000, "nt_epochs": 10000,
          "log_frequency": 1000}],
     "ide_disc_burgers": [
-        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 10000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 1000, "nt_epochs": 10000,
          "log_frequency": 1000}],
     # Beyond-reference family (not part of the five parity recipes —
     # excluded from the default name list below).  Measured 3.34e-3
     # rel-L2 at this schedule (RESULTS.md; the paper's discrete AC
     # result is ~6.99e-3); 10k iters stops early at 1.56e-2.
     "inf_disc_allencahn": [
-        {"dtype": "float64", "tf_epochs": 1000, "nt_epochs": 40000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 1000, "nt_epochs": 40000,
          "log_frequency": 2000}],
     # Beyond-reference family #2: KdV discrete identification (order-3
     # Taylor stream).  Measured 2.56e-4 mean relative lambda error at
@@ -82,13 +89,15 @@ CAMPAIGN = {
     "ide_disc_kdv": [
         {"tf_epochs": 200, "nt_epochs": 10000, "log_frequency": 1000}],
     # Beyond-reference family #3: 2D Navier-Stokes identification
-    # (psi-p formulation, 13 mixed-partial Taylor streams) on the exact
-    # Taylor-Green vortex.  f32 default dtype with the f64vec L-BFGS
-    # mixed path; Adam-heavy warmup (the lambda landscape needs the
-    # velocity field fitted before the residual terms identify).
+    # (psi-p formulation, 13 mixed-partial Taylor streams) on the
+    # repo's own spectral DNS of decaying 2D turbulence (the exact
+    # Taylor-Green set is lambda1-degenerate; see
+    # datagen/navierstokes_spectral.py).  f32 net with the f64vec
+    # L-BFGS mixed path; Adam-heavy warmup (the lambda landscape needs
+    # the velocity field fitted before the residual terms identify).
     "ide_cont_navierstokes": [
-        {"nt_vector_dtype": "float64", "tf_epochs": 5000,
-         "nt_epochs": 10000, "log_frequency": 1000}],
+        {"nt_vector_dtype": "float64", "nt_dir_impl": "matrix",
+         "tf_epochs": 5000, "nt_epochs": 10000, "log_frequency": 1000}],
 }
 
 # The reference-parity campaign (default when no names are given).

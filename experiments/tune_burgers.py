@@ -35,7 +35,7 @@ import inf_cont_burgers as exp
 # (3.9x the XLA mixed stage at equal schedule, error-neutral —
 # logs/fused_ab2.log); _hp_for_platform drops the key off-chip.
 MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000,
-         "fused_residual": True}
+         "fused_residual": True, "nt_dir_impl": "matrix"}
 
 
 def _hp_for_platform(hp: dict) -> dict:
@@ -48,21 +48,21 @@ PROBES = {
     "P1": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe"},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 3000,
          "log_frequency": 1000, "nt_line_search": "wolfe"},
     ]},
     # + collocation resampling every 1000 L-BFGS iters in stage 1
     "P2": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 3000,
          "log_frequency": 1000, "nt_line_search": "wolfe"},
     ]},
     # resampling through the refinement stage too
     "P3": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 3000,
          "log_frequency": 1000, "nt_line_search": "wolfe",
          "nt_resample": 1000},
     ]},
@@ -70,7 +70,7 @@ PROBES = {
     "P4": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 3000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 3000,
          "log_frequency": 1000},
     ]},
     # P5 with 3-way multi-start on the mixed stage: the basin lottery
@@ -79,7 +79,7 @@ PROBES = {
     "P8": {"multi_start": 3, "stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]},
     # P5 + wide multi-start with a cheap screen, champion by HELD-OUT
@@ -91,7 +91,7 @@ PROBES = {
             "stages": [
                 {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
                  "nt_line_search": "wolfe", "nt_resample": 1000},
-                {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+                {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
                  "log_frequency": 2000, "nt_line_search": "wolfe"},
             ]},
     # Two-arm seed-robust recipe: default-init P5 in one arm, the
@@ -113,7 +113,7 @@ PROBES = {
              "stages": [
                  {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
                   "nt_line_search": "wolfe", "nt_resample": 1000},
-                 {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+                 {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
                   "log_frequency": 2000, "nt_line_search": "wolfe"},
              ]},
     # Three-arm pointwise MEDIAN (VERDICT r3 item #6: attack the gap
@@ -128,7 +128,7 @@ PROBES = {
     "P11": {"ensemble": 3, "stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]},
     # P5 but the f64 refinement runs on a one-shot RAR draw (half the
@@ -137,7 +137,7 @@ PROBES = {
     "P9": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe",
          "rar_init": True, "rar_pool": 200000},
     ]},
@@ -145,7 +145,7 @@ PROBES = {
     "P5": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]},
     # long refinement + resampled big draws (approximates the continuum
@@ -153,7 +153,7 @@ PROBES = {
     "P7": {"stages": [
         {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 10000,
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe",
          "nt_resample": 2000, "N_f": 30000},
     ]},
