@@ -409,7 +409,11 @@ def main():
     # *_live fields next to the pinned headline ratio — never replacing
     # it, so vs_baseline is stable between runs (VERDICT r3 item #4).
     if not skip_tf and remaining() > 60:
-        tf_sps = measure_tf_baseline(n_f, steps=3 if smoke else 12)
+        # Median of >=10 steps even in smoke mode: a 3-step median is
+        # nearly as GC-pause-sensitive as the 3-step mean the pinned-
+        # baseline redesign replaced, and eager steps are cheap at
+        # smoke's N_f.
+        tf_sps = measure_tf_baseline(n_f, steps=12)
         if tf_sps is not None:
             record.update({
                 "tf_eager_cpu_baseline_steps_per_sec_live": round(tf_sps, 3),

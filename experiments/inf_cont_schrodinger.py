@@ -143,15 +143,22 @@ def run(hp=None, plot=False, save_path=None):
         # serializes the hot loop on host round-trips, so it is a
         # debug/parity mode, never a throughput configuration (the
         # default prints the same terms at logger cadence instead).
-        base_loss = loss_fn
+        def _print_wrap(base):
+            def wrapped(p, b):
+                t = schrodinger.loss_terms(p, b["X0"], b["H0"], b["X_lb"],
+                                           b["X_ub"], b["X_f"], lb, ub,
+                                           b.get("f_w"))
+                jax.debug.print("mse_0 {a}    mse_b {b}    mse_f    {c}",
+                                a=t.mse_0, b=t.mse_b, c=t.mse_f)
+                return base(p, b)
+            return wrapped
 
-        def loss_fn(p, b):  # noqa: F811 — deliberate wrap
-            t = schrodinger.loss_terms(p, b["X0"], b["H0"], b["X_lb"],
-                                       b["X_ub"], b["X_f"], lb, ub,
-                                       b.get("f_w"))
-            jax.debug.print("mse_0 {a}    mse_b {b}    mse_f    {c}",
-                            a=t.mse_0, b=t.mse_b, c=t.mse_f)
-            return base_loss(p, b)
+        loss_fn = _print_wrap(loss_fn)
+        if adam_loss_fn is not None:
+            # The bf16 warmup path optimizes a separate Adam-phase loss
+            # — it must print per evaluation too, or the parity contract
+            # silently breaks for the whole Adam phase.
+            adam_loss_fn = _print_wrap(adam_loss_fn)
     predict_h = jax.jit(lambda p, X: mlp.apply(p, X, lb, ub))
 
     logger = Logger(hp)

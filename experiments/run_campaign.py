@@ -129,6 +129,7 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
     stages = CAMPAIGN[name]
     t0 = time.time()
     ckpt = None
+    created_ckpts = []
     executed = []
     for i, stage in enumerate(stages):
         hp = dict(stage)
@@ -146,11 +147,18 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
         if i + 1 < len(stages):
             fd, ckpt = tempfile.mkstemp(suffix=".npz")
             os.close(fd)
+            created_ckpts.append(ckpt)
             hp["save_checkpoint"] = ckpt
         executed.append(hp)
         result = mod.run(hp, plot=False)
-    if ckpt and os.path.exists(ckpt):
-        os.remove(ckpt)
+    # Remove every stage checkpoint in the chain, including the
+    # per-case siblings the identification experiments write through
+    # _case_path (e.g. <base>-noisy.npz) — not just the last base file.
+    import glob
+    for c in created_ckpts:
+        for f in [c] + glob.glob(c[:-len(".npz")] + "-*.npz"):
+            if os.path.exists(f):
+                os.remove(f)
     dur = time.time() - t0
 
     def _stage_desc(h):

@@ -38,29 +38,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _map_tile(i):
-    """Index map for point-tiled blocks.  The constant is pinned to
-    i32: under jax_enable_x64 a Python-int 0 in an index map traces as
-    i64 while the program id stays i32, and Mosaic rejects the mixed-
-    width return ("failed to legalize \'func.return\'") — hit whenever
-    the mixed-precision Trainer (nt_vector_dtype=float64) enables x64
-    globally around a fused-kernel loss."""
-    return jnp.int32(0), i
-
-
-def _map_whole(i):
-    """Index map for whole-array (weight/accumulator) blocks; same
-    i32-pinning rationale as :func:`_map_tile`."""
-    del i
-    return jnp.int32(0), jnp.int32(0)
-
-
 def _map_rows(i):
-    """Index map for row-tiled blocks; same i32 pinning."""
+    """Index map for row-tiled blocks; the constant is pinned to i32
+    for the same Mosaic mixed-width reason as
+    :func:`pinn.ops.pallas_train._map_tile`."""
     return i, jnp.int32(0)
 
 
-from pinn.ops.pallas_train import _x64_safe_jit  # noqa: E402
+# Shared i32-pinned index maps (single definition — the Mosaic x64
+# workaround lives in one place, pallas_train).
+from pinn.ops.pallas_train import _map_tile, _x64_safe_jit  # noqa: E402
 
 TILE = 2048
 

@@ -43,24 +43,10 @@ from pinn.ops.pallas_train import _layer_fwd, _layer_bwd, _prep, _pad_points, _d
 # 100-wide layers: saved stream buffers are (100, 4T) f32 per hidden
 # layer; T=512 keeps the whole working set (~6 MB) comfortably in VMEM.
 
-def _map_tile(i):
-    """Index map for point-tiled blocks.  The constant is pinned to
-    i32: under jax_enable_x64 a Python-int 0 in an index map traces as
-    i64 while the program id stays i32, and Mosaic rejects the mixed-
-    width return ("failed to legalize \'func.return\'") — hit whenever
-    the mixed-precision Trainer (nt_vector_dtype=float64) enables x64
-    globally around a fused-kernel loss."""
-    return jnp.int32(0), i
-
-
-def _map_whole(i):
-    """Index map for whole-array (weight/accumulator) blocks; same
-    i32-pinning rationale as :func:`_map_tile`."""
-    del i
-    return jnp.int32(0), jnp.int32(0)
-
-
-from pinn.ops.pallas_train import _x64_safe_jit  # noqa: E402
+# Shared i32-pinned index maps (single definition — the Mosaic x64
+# workaround lives in one place, pallas_train).
+from pinn.ops.pallas_train import (  # noqa: E402
+    _map_tile, _map_whole, _x64_safe_jit)
 
 TILE = 512
 
