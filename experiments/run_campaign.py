@@ -57,10 +57,19 @@ CAMPAIGN = {
         {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ],
+    # Schrödinger deliberately keeps the round-3 recipe (XLA mixed
+    # stage, f32 warmup, scan direction): the fused+bf16+matrix
+    # composition was measured at equal schedule on-chip and came out
+    # WORSE on error (1.4657e-3 vs 1.2270e-3) with no wall-clock win
+    # (1813.3s vs 1693.4s — this problem is f64-refinement-dominated,
+    # so the 3.9x mixed-stage kernel doesn't pay; RESULTS.md S2-fused
+    # row, logs/campaign_s2_fused.log).  The composition stays the
+    # Burgers default where it was measured strictly better.
     "inf_cont_schrodinger": [
-        {**MIXED, "tf_epochs": 2000, "tf_lr": 1e-3, "tf_b1": 0.9,
+        {"nt_vector_dtype": "float64", "log_frequency": 2000,
+         "tf_epochs": 2000, "tf_lr": 1e-3, "tf_b1": 0.9,
          "tf_eps": None, "nt_epochs": 15000},
-        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 6000,
+        {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 6000,
          "log_frequency": 1000},
     ],
     "inf_disc_burgers": [
@@ -95,9 +104,19 @@ CAMPAIGN = {
     # datagen/navierstokes_spectral.py).  f32 net with the f64vec
     # L-BFGS mixed path; Adam-heavy warmup (the lambda landscape needs
     # the velocity field fitted before the residual terms identify).
+    # Two stages (round-4 probe, logs/ns_probe_timing + campaign_ns2):
+    # the single mixed stage hits the f32 SSE floor with lambda1 still
+    # climbing (L-BFGS quits at ~0.92/0.95 "can not make progress",
+    # logs/campaign_ns.log) — the same floor the disc family hit; the
+    # f64 warm-start refinement (the D2 trick) carries lambda1 the rest
+    # of the way.  f64 steps are ~18x the mixed stage's (software f64
+    # on TPU, 13 Taylor streams), so the budget goes: cheap mixed stage
+    # to the floor, then a bounded f64 tail.
     "ide_cont_navierstokes": [
         {"nt_vector_dtype": "float64", "nt_dir_impl": "matrix",
-         "tf_epochs": 5000, "nt_epochs": 10000, "log_frequency": 1000}],
+         "tf_epochs": 5000, "nt_epochs": 15000, "log_frequency": 1000},
+        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0,
+         "nt_epochs": 8000, "log_frequency": 500}],
 }
 
 # The reference-parity campaign (default when no names are given).
