@@ -127,30 +127,41 @@ def triangle_bound(errors: Sequence[float],
 
 
 class EnsemblePINN:
-    """Prediction-averaging wrapper over trained models.
+    """Prediction-combining wrapper over trained models.
 
     Members are any objects with ``predict(X) -> np.ndarray`` (e.g.
     :class:`pinn.api.PhysicsInformedNN` instances trained from
     different ``init_seed`` values, or closures over functional-core
-    params).  ``predict`` returns the convex combination of member
+    params).  ``predict`` returns the combination of member
     predictions; pass ``val_metric`` to weight members by the inverse
-    of a *held-out* metric (validation residual — never test labels).
+    of a *held-out* metric (validation residual — never test labels),
+    or ``combine="median"`` for the robust pointwise median over an
+    odd number of arms (the P15 recipe — votes out a single bad-basin
+    member; incompatible with weights, which the median ignores).
 
     Usage::
 
         members = [train_one(init_seed=s) for s in (0, 7919, 15838)]
-        ens = EnsemblePINN(members)                # uniform
+        ens = EnsemblePINN(members)                # uniform mean
         ens = EnsemblePINN(members, val_metric=my_val_residual)
+        ens = EnsemblePINN(members, combine="median")
         u = ens.predict(X_star)
     """
 
     def __init__(self, members: Sequence,
                  weights: Optional[Sequence[float]] = None,
-                 val_metric: Optional[Callable] = None):
+                 val_metric: Optional[Callable] = None,
+                 combine: str = "mean"):
         if not members:
             raise ValueError("need at least one member")
         if weights is not None and val_metric is not None:
             raise ValueError("pass weights or val_metric, not both")
+        if combine not in ("mean", "median"):
+            raise ValueError(f"unknown combine mode: {combine!r}")
+        if combine == "median" and (weights is not None
+                                    or val_metric is not None):
+            raise ValueError("the pointwise median takes no weights")
+        self.combine = combine
         self.members = list(members)
         if val_metric is not None:
             self.metrics = [float(val_metric(m)) for m in self.members]
@@ -162,4 +173,6 @@ class EnsemblePINN:
 
     def predict(self, X) -> np.ndarray:
         preds = [m.predict(X) for m in self.members]
+        if self.combine == "median":
+            return median_predictions(preds)
         return average_predictions(preds, self.weights)

@@ -109,3 +109,29 @@ def test_ensemble_pinn_facade_end_to_end():
         ens.EnsemblePINN([])
     with pytest.raises(ValueError):
         ens.EnsemblePINN(members, weights=[1, 1], val_metric=val)
+
+
+def test_ensemble_pinn_median_combine():
+    """combine="median" routes through median_predictions (the P15
+    recipe): the pointwise median of three members votes out a single
+    outlier arm; weights are rejected (the median takes none)."""
+
+    class Fake:
+        def __init__(self, u):
+            self.u = np.asarray(u)
+
+        def predict(self, X):
+            return self.u
+
+    good = np.linspace(0.0, 1.0, 16).reshape(-1, 1)
+    members = [Fake(good), Fake(good + 1e-3), Fake(good + 10.0)]  # one bad arm
+    med = ens.EnsemblePINN(members, combine="median")
+    np.testing.assert_allclose(med.predict(None), good + 1e-3)
+
+    with pytest.raises(ValueError):
+        ens.EnsemblePINN(members, combine="median", weights=[1, 1, 1])
+    with pytest.raises(ValueError):
+        ens.EnsemblePINN(members, combine="median",
+                         val_metric=lambda m: 1.0)
+    with pytest.raises(ValueError):
+        ens.EnsemblePINN(members, combine="mode")
