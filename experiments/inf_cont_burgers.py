@@ -130,6 +130,31 @@ def run(hp=None, plot=False, save_path=None):
             # params); L-BFGS keeps the exact kernel.
             adam_loss_fn = build_fused("bfloat16")
             hp = {k: v for k, v in hp.items() if k != "tf_net_dtype"}
+    elif hp.get("net_impl") == "df32":
+        # Double-f32 extended-precision engine (pinn/ops/df32.py): the
+        # TPU-native replacement for the emulated-f64 refinement stage.
+        # Params/iterate stay float64 (codec, checkpoints, L-BFGS
+        # vector algebra unchanged); the network/residual evaluation
+        # runs in compensated f32 pairs on the VPU.
+        if dtype != jnp.float64:
+            raise ValueError("net_impl='df32' requires dtype=float64 "
+                             "(the f64 iterate is what df32 refines)")
+        if mesh is not None:
+            raise ValueError("net_impl='df32' is single-chip "
+                             "(refinement stages; see df32.py)")
+        if jax.default_backend() == "cpu":
+            # CPU jit breaks the error-free transforms (fusion-emitter
+            # FMA contraction — df32.py docstring); native f64 is the
+            # right CPU engine.  Allowed for wiring smoke tests only.
+            print("WARNING: net_impl='df32' on CPU degrades to ~f32 "
+                  "accuracy under jit; use dtype=float64 instead")
+        from pinn.ops.df32 import make_burgers_loss_df32
+
+        _df32_loss = make_burgers_loss_df32(np.asarray(data.lb),
+                                            np.asarray(data.ub), nu)
+
+        def loss_fn(p, b):
+            return _df32_loss(p, b)
     else:
         def loss_fn(p, b):
             return burgers.loss_cont_inference(p, b["X_u"], b["u"],

@@ -148,6 +148,18 @@ PROBES = {
         {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]},
+    # P5 with the refinement stage on the df32 engine (pinn/ops/df32:
+    # compensated-f32 net evaluation, f64 iterate) instead of emulated
+    # f64 — measured 5.7x per loss+grad at the flagship shapes.  The
+    # A/B question: do f32-backward gradients (direction-exact, 2.6e-7
+    # magnitude noise) reach the f64 tail's 4.26e-4 rel-L2 floor?
+    "P16": {"stages": [
+        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "net_impl": "df32", "nt_dir_impl": "matrix",
+         "tf_epochs": 0, "nt_epochs": 10000,
+         "log_frequency": 2000, "nt_line_search": "wolfe"},
+    ]},
     # long refinement + resampled big draws (approximates the continuum
     # loss instead of converging into one draw's floor)
     "P7": {"stages": [

@@ -1,0 +1,225 @@
+"""df32 (double-f32) extended-precision engine tests.
+
+Exactness tier notes (pinn/ops/df32.py module docstring): the CPU
+backend's fusion emitter breaks EFTs under jit (FMA contraction of
+duplicated producers), so CPU exactness tests run EAGER or with the
+no-fusion compile options; the real-chip tier (`PINN_TPU_TESTS=1
+pytest -m tpu`) asserts jit exactness on the target hardware where it
+holds unconditionally.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pinn.ops import df32 as dd
+
+NOFUSE = {"xla_backend_optimization_level": "0"}
+
+
+def _jit_nofuse(fn, *args):
+    """jit with CPU fusion disabled (EFT-safe compile; see df32.py)."""
+    return jax.jit(fn).lower(*args).compile(compiler_options=NOFUSE)(*args)
+
+
+def to64(x: dd.DF) -> np.ndarray:
+    return np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Error-free transformations (eager = per-op XLA programs, no fusion)
+# ---------------------------------------------------------------------------
+
+def test_two_sum_exact_eager():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(4096).astype(np.float32)
+    b = (rng.standard_normal(4096) * 1e-6).astype(np.float32)
+    s, e = dd.two_sum(jnp.asarray(a), jnp.asarray(b))
+    lhs = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+    rhs = a.astype(np.float64) + b.astype(np.float64)
+    np.testing.assert_array_equal(lhs, rhs)
+
+
+def test_two_prod_exact_eager():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(4096).astype(np.float32)
+    b = rng.standard_normal(4096).astype(np.float32)
+    p, e = dd.two_prod(jnp.asarray(a), jnp.asarray(b))
+    lhs = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    rhs = a.astype(np.float64) * b.astype(np.float64)
+    # f32 x f32 products are exact in f64 (24+24 <= 53 bits).
+    np.testing.assert_array_equal(lhs, rhs)
+
+
+def test_from_to_f64_roundtrip():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(512)
+    d = dd.from_f64(jnp.asarray(x))
+    # hi+lo carries ~48 bits of x (lo is itself f32-rounded).
+    hi64 = np.asarray(d.hi, np.float64)
+    lo64 = np.asarray(d.lo, np.float64)
+    err = np.abs(hi64 + lo64 - x)
+    assert (err <= np.abs(x) * 2**-47).all()
+
+
+# ---------------------------------------------------------------------------
+# dd arithmetic accuracy (~2^-48 relative)
+# ---------------------------------------------------------------------------
+
+def test_add_mul_div_accuracy():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(2048)
+    y = rng.standard_normal(2048)
+    X, Y = dd.from_f64(jnp.asarray(x)), dd.from_f64(jnp.asarray(y))
+    # Reference against the exact values the DF pairs REPRESENT (the
+    # 48-bit split error would otherwise dominate under cancellation).
+    xs, ys = to64(X), to64(Y)
+    for op, ref in [(dd.add, xs + ys), (dd.mul, xs * ys), (dd.div, xs / ys)]:
+        got = to64(op(X, Y))
+        rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
+        assert rel.max() < 1e-13, (op.__name__, rel.max())
+
+
+def test_sum_pairwise_vs_fsum():
+    rng = np.random.default_rng(4)
+    for k in [3, 17, 100, 1000]:
+        x = rng.standard_normal(k)
+        s = dd.sum_pairwise(dd.from_f64(jnp.asarray(x)), axis=0)
+        exact = math.fsum(x)
+        assert abs(float(to64(s)) - exact) <= abs(exact) * 1e-12 + 1e-14
+
+
+def test_matmul_exact_jit_nofuse():
+    rng = np.random.default_rng(5)
+    for k in [8, 64, 600]:  # 600 ~ the q=500 IRK coupling scale
+        A = dd.from_f64(jnp.asarray(rng.standard_normal((16, k))))
+        B = dd.from_f64(jnp.asarray(rng.standard_normal((k, 16))))
+        exact = (np.asarray(A.hi, np.float64) + np.asarray(A.lo, np.float64)) @ (
+            np.asarray(B.hi, np.float64) + np.asarray(B.lo, np.float64))
+        r = _jit_nofuse(dd.matmul, A, B)
+        rel = np.abs(to64(r) - exact) / np.maximum(np.abs(exact), 1e-30)
+        # O(K·2^-48·cond) sequential error-channel accumulation.
+        assert rel.max() < (1e-10 if k <= 64 else 1e-9), (k, rel.max())
+
+
+def test_cpu_fusion_breaks_eft_documented():
+    """Regression lock on the *reason* df32 never routes to CPU jit:
+    default-compiled CPU jit loses the compensation (documented in
+    pinn/ops/df32.py).  If this starts PASSING at 1e-10, the guard
+    rails can be relaxed."""
+    rng = np.random.default_rng(6)
+    A = dd.from_f64(jnp.asarray(rng.standard_normal((16, 64))))
+    B = dd.from_f64(jnp.asarray(rng.standard_normal((64, 16))))
+    exact = (np.asarray(A.hi, np.float64) + np.asarray(A.lo, np.float64)) @ (
+        np.asarray(B.hi, np.float64) + np.asarray(B.lo, np.float64))
+    r = jax.jit(dd.matmul)(A, B)
+    rel = np.abs(to64(r) - exact) / np.maximum(np.abs(exact), 1e-30)
+    if rel.max() < 1e-10:
+        pytest.skip("CPU fusion emitter became EFT-safe — revisit df32 "
+                    "CPU guard rails")
+
+
+def test_tanh_expm1_accuracy():
+    x = np.concatenate([
+        np.linspace(-20, 20, 2001),
+        np.array([0.0, 1e-8, -1e-8, 1e-3, 40.0, 60.0, -60.0]),
+    ])
+    t = dd.tanh(dd.from_f64(jnp.asarray(x)))
+    ref = np.tanh(x)
+    rel = np.abs(to64(t) - ref) / np.maximum(np.abs(ref), 1e-300)
+    rel[ref == 0] = np.abs(to64(t))[ref == 0]
+    assert rel.max() < 1e-13, rel.max()
+
+
+# ---------------------------------------------------------------------------
+# Network engine vs the f64 oracle (eager on CPU)
+# ---------------------------------------------------------------------------
+
+def _tiny_net():
+    from pinn.models import mlp
+    layers = [2, 8, 8, 8, 1]
+    lb = np.array([-1.0, 0.0])
+    ub = np.array([1.0, 1.0])
+    net = mlp.init_mlp(jax.random.PRNGKey(0), layers, jnp.float64)
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(lb + (ub - lb) * rng.random((64, 2)))
+    return net, X, lb, ub
+
+
+def test_taylor_apply_df32_matches_f64():
+    from pinn.models import mlp
+    net, X, lb, ub = _tiny_net()
+    v1 = np.array([1.0, 0.0])
+    v2 = np.array([0.0, 1.0])
+    # NOFUSE compile: the layer/contraction scans always compile their
+    # bodies, so plain eager still hits the CPU fusion emitter.
+    got = _jit_nofuse(
+        lambda p, x: dd.taylor_apply_df32(p, x, lb, ub, v1, v2), net, X)
+    ref = mlp.taylor_apply(net, X, jnp.asarray(lb), jnp.asarray(ub),
+                           jnp.asarray(v1), jnp.asarray(v2))
+    for name, g, r in [("value", got.value, ref.value),
+                       ("d1", got.d1, ref.d1),
+                       ("d11", got.d11, ref.d11),
+                       ("d2", got.d2, ref.d2)]:
+        scale = np.abs(np.asarray(r)).max()
+        np.testing.assert_allclose(to64(g), np.asarray(r), rtol=0,
+                                   atol=scale * 1e-10, err_msg=name)
+
+
+def test_burgers_loss_df32_matches_f64():
+    from pinn.problems import burgers
+    net, X_f, lb, ub = _tiny_net()
+    rng = np.random.default_rng(8)
+    X_u = jnp.asarray(lb + (ub - lb) * rng.random((16, 2)))
+    u = jnp.asarray(rng.standard_normal((16, 1)) * 0.5)
+    nu = 0.01 / np.pi
+    batch = {"X_f": X_f, "X_u": X_u, "u": u}
+    loss_dd = dd.make_burgers_loss_df32(lb, ub, nu)
+    l_dd = float(_jit_nofuse(loss_dd, net, batch))
+    l_64 = float(burgers.loss_cont_inference(
+        net, X_u, u, X_f, jnp.asarray(lb), jnp.asarray(ub), nu))
+    assert abs(l_dd - l_64) / abs(l_64) < 1e-9
+
+
+def test_burgers_grad_df32_direction():
+    """f32-backward gradients: direction must agree with the f64 oracle
+    (cosine ~1); magnitudes to f32 grade."""
+    from pinn.problems import burgers
+    net, X_f, lb, ub = _tiny_net()
+    rng = np.random.default_rng(9)
+    X_u = jnp.asarray(lb + (ub - lb) * rng.random((16, 2)))
+    u = jnp.asarray(rng.standard_normal((16, 1)) * 0.5)
+    nu = 0.01 / np.pi
+    batch = {"X_f": X_f, "X_u": X_u, "u": u}
+    loss_dd = dd.make_burgers_loss_df32(lb, ub, nu)
+    g_dd = _jit_nofuse(jax.grad(loss_dd), net, batch)
+    g_64 = jax.grad(lambda p: burgers.loss_cont_inference(
+        p, X_u, u, X_f, jnp.asarray(lb), jnp.asarray(ub), nu))(net)
+    gd = jnp.concatenate([x.reshape(-1) for pair in g_dd for x in pair])
+    g6 = jnp.concatenate([x.reshape(-1) for pair in g_64 for x in pair])
+    cos = float(jnp.vdot(gd, g6) / (jnp.linalg.norm(gd) * jnp.linalg.norm(g6)))
+    assert cos > 1 - 1e-6, cos
+    rel = float(jnp.linalg.norm(gd - g6) / jnp.linalg.norm(g6))
+    assert rel < 1e-3, rel
+
+
+# ---------------------------------------------------------------------------
+# Real-chip tier: jit exactness on TPU (the deployment configuration)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.tpu
+def test_tpu_jit_matmul_exact():
+    assert jax.default_backend() != "cpu"
+    with jax.experimental.enable_x64():
+        rng = np.random.default_rng(10)
+        A = dd.from_f64(jnp.asarray(rng.standard_normal((64, 64))))
+        B = dd.from_f64(jnp.asarray(rng.standard_normal((64, 64))))
+        exact = (np.asarray(A.hi, np.float64) + np.asarray(A.lo, np.float64)) @ (
+            np.asarray(B.hi, np.float64) + np.asarray(B.lo, np.float64))
+        r = jax.jit(dd.matmul)(A, B)
+        rel = np.abs(to64(r) - exact) / np.maximum(np.abs(exact), 1e-30)
+        assert rel.max() < 1e-10, rel.max()
