@@ -125,6 +125,25 @@ def run(hp=None, plot=False, save_path=None):
             # kernel.
             adam_loss_fn = build_fused("bfloat16")
             hp = {k: v for k, v in hp.items() if k != "tf_net_dtype"}
+    elif hp.get("net_impl") == "df32":
+        # Double-f32 extended-precision engine for the refinement
+        # stage (pinn/ops/df32.py) — f64 iterate, compensated-f32 net
+        # evaluation; the emulated-f64 replacement.  See
+        # experiments/inf_cont_burgers.py for the guard rationale.
+        if dtype != jnp.float64:
+            raise ValueError("net_impl='df32' requires dtype=float64")
+        if mesh is not None:
+            raise ValueError("net_impl='df32' is single-chip")
+        if jax.default_backend() == "cpu":
+            print("WARNING: net_impl='df32' on CPU degrades to ~f32 "
+                  "accuracy under jit; use dtype=float64 instead")
+        from pinn.ops.df32 import make_schrodinger_loss_df32
+
+        _df32_loss = make_schrodinger_loss_df32(np.asarray(data.lb),
+                                                np.asarray(data.ub))
+
+        def loss_fn(p, b):
+            return _df32_loss(p, b)
     else:
         def loss_fn(p, b):
             return schrodinger.loss(p, b["X0"], b["H0"], b["X_lb"],

@@ -41,7 +41,7 @@ infrastructure for the same capability (f64-grade refinement).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Union
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -500,6 +500,57 @@ def _mse(x: DF) -> DF:
     sq = mul(x, x)
     flat = DF(sq.hi.reshape(-1), sq.lo.reshape(-1))
     return div(sum_pairwise(flat, axis=0), const(float(flat.hi.shape[0])))
+
+
+def make_schrodinger_loss_df32(lb, ub):
+    """loss(params_f64, batch) -> f64 scalar, nonlinear Schrödinger
+    continuous inference in df32 (reference
+    1dcomplex-schrodinger/inf_cont_schrodinger.py:107-129; term
+    structure mirrors pinn.problems.schrodinger.loss_terms).
+
+    The S2 recipe is f64-refinement-dominated (RESULTS.md), so this is
+    the family with the most wall-clock behind the emulated-f64 stage.
+    """
+    lb64 = np.asarray(lb, np.float64)
+    ub64 = np.asarray(ub, np.float64)
+    v1 = np.array([1.0, 0.0])
+    v2 = np.array([0.0, 1.0])
+    half = const(0.5)
+
+    def col_mse(x: DF, ref: Optional[jnp.ndarray] = None) -> DF:
+        d = x if ref is None else add(from_f64(ref), neg(x))
+        return _mse(d)
+
+    def loss_fn(params, batch):
+        # Initial condition: per-column means (reference sums
+        # mean(u err) + mean(v err), inf_cont_schrodinger.py:117-118).
+        H0p = apply_df32(params, batch["X0"], lb64, ub64)
+        mse_0 = add(col_mse(H0p[:, 0], batch["H0"][:, 0]),
+                    col_mse(H0p[:, 1], batch["H0"][:, 1]))
+
+        # Periodic BCs: value AND x-derivative matched across x=lb/ub.
+        o_lo = taylor_apply_df32(params, batch["X_lb"], lb64, ub64, v1, v2)
+        o_hi = taylor_apply_df32(params, batch["X_ub"], lb64, ub64, v1, v2)
+        mse_b = add(add(col_mse(add(o_lo.value[:, 0], neg(o_hi.value[:, 0]))),
+                        col_mse(add(o_lo.value[:, 1], neg(o_hi.value[:, 1])))),
+                    add(col_mse(add(o_lo.d1[:, 0], neg(o_hi.d1[:, 0]))),
+                        col_mse(add(o_lo.d1[:, 1], neg(o_hi.d1[:, 1])))))
+
+        # PDE residual: f_u = u_t + .5 v_xx + (u²+v²) v,
+        #               f_v = v_t - .5 u_xx - (u²+v²) u.
+        out = taylor_apply_df32(params, batch["X_f"], lb64, ub64, v1, v2)
+        u, v = out.value[:, 0], out.value[:, 1]
+        u_xx, v_xx = out.d11[:, 0], out.d11[:, 1]
+        u_t, v_t = out.d2[:, 0], out.d2[:, 1]
+        h2 = add(mul(u, u), mul(v, v))
+        f_u = add(u_t, add(mul(broadcast_to(half, v_xx.shape), v_xx),
+                           mul(h2, v)))
+        f_v = add(v_t, neg(add(mul(broadcast_to(half, u_xx.shape), u_xx),
+                               mul(h2, u))))
+        mse_f = add(_mse(f_u), _mse(f_v))
+        return to_f64(add(mse_0, add(mse_b, mse_f)))
+
+    return loss_fn
 
 
 def make_burgers_loss_df32(lb, ub, nu):

@@ -207,6 +207,38 @@ def test_burgers_grad_df32_direction():
     assert rel < 1e-3, rel
 
 
+def test_schrodinger_loss_df32_matches_f64():
+    from pinn.models import mlp
+    from pinn.problems import schrodinger
+    layers = [2, 12, 12, 12, 2]
+    lb = np.array([-5.0, 0.0])
+    ub = np.array([5.0, np.pi / 2])
+    net = mlp.init_mlp(jax.random.PRNGKey(3), layers, jnp.float64)
+    rng = np.random.default_rng(11)
+    X0 = jnp.asarray(np.stack([rng.uniform(-5, 5, 16),
+                               np.zeros(16)], axis=1))
+    H0 = jnp.asarray(rng.standard_normal((16, 2)) * 0.5)
+    tb = rng.uniform(0, np.pi / 2, 8)
+    X_lb = jnp.asarray(np.stack([np.full(8, -5.0), tb], axis=1))
+    X_ub = jnp.asarray(np.stack([np.full(8, 5.0), tb], axis=1))
+    X_f = jnp.asarray(lb + (ub - lb) * rng.random((64, 2)))
+    batch = {"X0": X0, "H0": H0, "X_lb": X_lb, "X_ub": X_ub, "X_f": X_f}
+
+    loss_dd = dd.make_schrodinger_loss_df32(lb, ub)
+    l_dd = float(_jit_nofuse(loss_dd, net, batch))
+    l_64 = float(schrodinger.loss(net, X0, H0, X_lb, X_ub, X_f,
+                                  jnp.asarray(lb), jnp.asarray(ub)))
+    assert abs(l_dd - l_64) / abs(l_64) < 1e-9, (l_dd, l_64)
+
+    g_dd = _jit_nofuse(jax.grad(loss_dd), net, batch)
+    g_64 = jax.grad(lambda p: schrodinger.loss(
+        p, X0, H0, X_lb, X_ub, X_f, jnp.asarray(lb), jnp.asarray(ub)))(net)
+    gd = jnp.concatenate([x.reshape(-1) for pair in g_dd for x in pair])
+    g6 = jnp.concatenate([x.reshape(-1) for pair in g_64 for x in pair])
+    cos = float(jnp.vdot(gd, g6) / (jnp.linalg.norm(gd) * jnp.linalg.norm(g6)))
+    assert cos > 1 - 1e-6, cos
+
+
 # ---------------------------------------------------------------------------
 # Real-chip tier: jit exactness on TPU (the deployment configuration)
 # ---------------------------------------------------------------------------
