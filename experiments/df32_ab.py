@@ -1,0 +1,171 @@
+"""Controlled A/B of refinement tails from ONE shared stage-1 checkpoint.
+
+Round-5 diagnosis of the P16 df32 gap (VERDICT r4 item 1): the df32
+tail reaches the same training-loss floor as the emulated-f64 tail
+(2.24e-6 vs 2.12e-6, logs/p16_df32.log vs logs/campaign_p5_fused.log)
+yet lands at 8.3e-4 vs 4.26e-4 rel-L2 — which smells like basin /
+generalization lottery, not backward-precision stall.  Prior P16/P5
+runs are NOT same-checkpoint comparable (their stage-1 trajectories
+differed).  This driver removes the confound:
+
+  stage 1 (fused mixed, Adam 1k + L-BFGS 15k, resample) runs ONCE and
+  is cached at logs/ab_stage1.npz; every tail warm-starts from it.
+
+Tails (select by name on argv; each prints one PROBE JSON line):
+  f64_10k    emulated-f64 reference tail (the P5 configuration)
+  df32_10k   df32 tail, warm-cache timing (VERDICT item 7 data point)
+  hy_4k4k    df32 to its ~4k-iter plateau, then a short f64 tail
+  df32_n30   df32 tail on a 3x collocation draw (N_f=30000, fixed) —
+             converts df32's ~5.4x/iter speed into a lower SSE floor
+  df32_n30_rar  same but the 30k draw is one-shot RAR (rar_init)
+  gradcheck  no training: relative error + cosine of the df32 gradient
+             vs the f64 oracle gradient at the stage-1 iterate and at
+             a tail iterate if logs/ab_tail_df32.npz exists
+
+Usage: python experiments/df32_ab.py [tail ...] [--seed=1234]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from _common import setup  # noqa: F401 (path side effect)
+
+import jax
+
+import inf_cont_burgers as exp
+
+LOGS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "logs")
+
+MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000,
+         "fused_residual": True, "nt_dir_impl": "matrix",
+         "tf_epochs": 1000, "nt_epochs": 15000,
+         "nt_line_search": "wolfe", "nt_resample": 1000}
+
+F64 = {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0,
+       "log_frequency": 2000, "nt_line_search": "wolfe"}
+DF32 = {**F64, "net_impl": "df32"}
+
+TAILS = {
+    "f64_10k": [{**F64, "nt_epochs": 10000}],
+    "df32_10k": [{**DF32, "nt_epochs": 10000,
+                  "save_checkpoint": os.path.join(LOGS, "ab_tail_df32.npz")}],
+    "hy_4k4k": [{**DF32, "nt_epochs": 4000},
+                {**F64, "nt_epochs": 4000}],
+    "df32_n30": [{**DF32, "nt_epochs": 10000, "N_f": 30000}],
+    "df32_n30_rar": [{**DF32, "nt_epochs": 10000, "N_f": 30000,
+                      "rar_init": True, "rar_pool": 200000}],
+}
+
+
+def _hp_for_platform(hp: dict) -> dict:
+    if jax.default_backend() != "tpu":
+        hp = {k: v for k, v in hp.items() if k != "fused_residual"}
+    return hp
+
+
+def stage1_ckpt(seed: int) -> str:
+    path = os.path.join(LOGS, f"ab_stage1_seed{seed}.npz")
+    if os.path.exists(path):
+        print(f"[ab] reusing stage-1 checkpoint {path}", flush=True)
+        return path
+    t0 = time.time()
+    hp = _hp_for_platform(dict(MIXED, seed=seed, save_checkpoint=path))
+    r = exp.run(hp, plot=False)
+    print(f"[ab] stage 1 done: error {r['error']:.4e} "
+          f"in {time.time() - t0:.1f}s -> {path}", flush=True)
+    return path
+
+
+def run_tail(name: str, seed: int) -> dict:
+    ckpt = stage1_ckpt(seed)
+    t0 = time.time()
+    stages = TAILS[name]
+    result = None
+    for i, stage in enumerate(stages):
+        hp = dict(stage, seed=seed, init_checkpoint=ckpt)
+        if i + 1 < len(stages):
+            nxt = os.path.join(LOGS, f"ab_chain_{name}_{i}.npz")
+            hp["save_checkpoint"] = nxt
+        result = exp.run(_hp_for_platform(hp), plot=False)
+        if i + 1 < len(stages):
+            ckpt = nxt
+    return {"probe": f"AB_{name}", "seed": seed, "error": result["error"],
+            "tail_duration_s": round(time.time() - t0, 1)}
+
+
+def gradcheck(seed: int) -> dict:
+    """Relative error and cosine of the df32 gradient vs the f64 oracle
+    at the shared stage-1 iterate (and the df32-tail iterate if saved).
+    Pins down whether backward arithmetic is the binding error source."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pinn.data import burgers_cont_inference
+    from pinn.ops.df32 import make_burgers_loss_df32
+    from pinn.problems import burgers as bprob
+    from pinn.utils import checkpoint as ck
+    from pinn.models import mlp
+
+    jax.config.update("jax_enable_x64", True)
+    np.random.seed(seed)
+    data = burgers_cont_inference(100, 10000)
+    nu = 0.01 / np.pi
+    lb = jnp.asarray(data.lb, jnp.float64)
+    ub = jnp.asarray(data.ub, jnp.float64)
+    batch = {"X_u": jnp.asarray(data.X_u_train, jnp.float64),
+             "u": jnp.asarray(data.u_train, jnp.float64),
+             "X_f": jnp.asarray(data.X_f, jnp.float64)}
+    dd_loss = make_burgers_loss_df32(np.asarray(data.lb),
+                                     np.asarray(data.ub), nu)
+
+    def f64_loss(p, b):
+        return bprob.loss_cont_inference(p, b["X_u"], b["u"], b["X_f"],
+                                         lb, ub, nu)
+
+    like = mlp.init_mlp(jax.random.PRNGKey(seed),
+                        [2] + [20] * 8 + [1], jnp.float64)
+    out = {"probe": "AB_gradcheck", "seed": seed}
+    points = [("stage1", os.path.join(LOGS, f"ab_stage1_seed{seed}.npz"))]
+    tailp = os.path.join(LOGS, "ab_tail_df32.npz")
+    if os.path.exists(tailp):
+        points.append(("df32_tail", tailp))
+    for tag, path in points:
+        if not os.path.exists(path):
+            continue
+        params, _ = ck.load_npz(path, like=like)
+        g_dd = jax.jit(jax.grad(dd_loss))(params, batch)
+        g_64 = jax.jit(jax.grad(f64_loss))(params, batch)
+        gd = jnp.concatenate([x.reshape(-1) for pr in g_dd for x in pr])
+        g6 = jnp.concatenate([x.reshape(-1) for pr in g_64 for x in pr])
+        rel = float(jnp.linalg.norm(gd - g6) / jnp.linalg.norm(g6))
+        cos = float(jnp.vdot(gd, g6)
+                    / (jnp.linalg.norm(gd) * jnp.linalg.norm(g6)))
+        l_dd = float(dd_loss(params, batch))
+        l_64 = float(f64_loss(params, batch))
+        out[tag] = {"grad_rel_err": rel, "grad_cos": cos,
+                    "loss_df32": l_dd, "loss_f64": l_64,
+                    "loss_rel_err": abs(l_dd - l_64) / abs(l_64)}
+        print(f"[gradcheck {tag}] rel {rel:.3e} cos {cos:.12f} "
+              f"loss_rel {out[tag]['loss_rel_err']:.3e}", flush=True)
+    return out
+
+
+def main():
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seeds = [int(a.split("=")[1]) for a in sys.argv[1:]
+             if a.startswith("--seed=")] or [1234]
+    for seed in seeds:
+        for name in names:
+            if name == "gradcheck":
+                row = gradcheck(seed)
+            else:
+                row = run_tail(name, seed)
+            print("PROBE " + json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,7 +147,8 @@ def run(hp=None, plot=False, save_path=None):
             # FMA contraction — df32.py docstring); native f64 is the
             # right CPU engine.  Allowed for wiring smoke tests only.
             print("WARNING: net_impl='df32' on CPU degrades to ~f32 "
-                  "accuracy under jit; use dtype=float64 instead")
+                  "accuracy under jit; drop net_impl on CPU — native "
+                  "float64 is faster and more accurate there")
         from pinn.ops.df32 import make_burgers_loss_df32
 
         _df32_loss = make_burgers_loss_df32(np.asarray(data.lb),

@@ -136,7 +136,8 @@ def run(hp=None, plot=False, save_path=None):
             raise ValueError("net_impl='df32' is single-chip")
         if jax.default_backend() == "cpu":
             print("WARNING: net_impl='df32' on CPU degrades to ~f32 "
-                  "accuracy under jit; use dtype=float64 instead")
+                  "accuracy under jit; drop net_impl on CPU — native "
+                  "float64 is faster and more accurate there")
         from pinn.ops.df32 import make_schrodinger_loss_df32
 
         _df32_loss = make_schrodinger_loss_df32(np.asarray(data.lb),

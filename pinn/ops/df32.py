@@ -454,6 +454,10 @@ def taylor_apply_df32(params, X, lb, ub, v1, v2) -> TaylorOutDF:
     z2 = matmul(from_f64((v2 * scale)[None, :]), w)
     z2 = DF(jnp.broadcast_to(z2.hi, z.shape), jnp.broadcast_to(z2.lo, z.shape))
 
+    if len(pd) == 1:  # single linear layer (mirrors mlp.taylor_apply)
+        zero = DF(jnp.zeros_like(z.hi), jnp.zeros_like(z.lo))
+        return TaylorOutDF(value=z, d1=z1, d11=zero, d2=z2)
+
     one = const(1.0)
     t = tanh(z)
     sp = add(broadcast_to(one, t.shape), neg(mul(t, t)))   # 1 - t²

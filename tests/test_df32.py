@@ -246,7 +246,7 @@ def test_schrodinger_loss_df32_matches_f64():
 @pytest.mark.tpu
 def test_tpu_jit_matmul_exact():
     assert jax.default_backend() != "cpu"
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         rng = np.random.default_rng(10)
         A = dd.from_f64(jnp.asarray(rng.standard_normal((64, 64))))
         B = dd.from_f64(jnp.asarray(rng.standard_normal((64, 64))))
