@@ -58,6 +58,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 LAYERS = [2, 20, 20, 20, 20, 20, 20, 20, 20, 1]
 N_U, N_F = 100, 10000
 
+# Schrödinger family shape (reference
+# 1dcomplex-schrodinger/inf_cont_schrodinger.py:25-40): [2, 100x4, 2]
+# net, N0=50 initial + Nb=50 boundary pairs + N_f=20,000 collocation.
+LAYERS_SCHRO = [2, 100, 100, 100, 100, 2]
+N0_S, NB_S, N_F_S = 50, 50, 20000
+
+# Disc-IRK family shape (reference 1d-burgers/inf_disc_burgers.py):
+# [1, 50x3, q+1] net, q=500 IRK stages, N_n=250 snapshot points.
+LAYERS_DISC = [1, 50, 50, 50, 501]
+N_N_DISC, Q_DISC = 250, 500
+
+# Analytic FLOP floor per collocation point per Adam step (same model
+# as experiments/scaling_sweep.py: 3 Taylor streams forward + value
+# pass ~ 4 matmul-equivalents, x3 for fwd+bwd: 24 * sum(h_in*h_out)).
+# The fused kernel recomputes instead of re-reading activations so it
+# performs at least this many; reported numbers are comparable floors.
+V5E_BF16_PEAK_TFLOPS = 197.0
+F32_HIGHEST_PASSES = 6.0  # f32 "highest" = 6 bf16 MXU passes
+
+
+def flops_per_point(layers) -> float:
+    return 24.0 * sum(a * b for a, b in zip(layers[:-1], layers[1:]))
+
+
+def flops_fields(prefix: str, sps: float, n_pts: int, layers) -> dict:
+    """Achieved-FLOPs floor + share of the f32-highest MXU roofline
+    (VERDICT r4 item 6: bench should report an achieved-FLOPs estimate;
+    MFU is intrinsically low for 20-100-wide MLPs — the % quantifies
+    that honestly rather than hiding it)."""
+    fps = flops_per_point(layers) * n_pts
+    tflops = sps * fps / 1e12
+    ceiling = V5E_BF16_PEAK_TFLOPS / F32_HIGHEST_PASSES
+    return {f"{prefix}flops_per_step_est": round(fps, 0),
+            f"{prefix}achieved_tflops_est": round(tflops, 3),
+            f"{prefix}pct_f32_roofline_est": round(100 * tflops / ceiling, 2)}
+
 # Eager-TF2-CPU steps/s: the PINNED baseline lives in BASELINE.json
 # ("tf_eager_cpu_baseline", median-of-steps with provenance) so the
 # published vs_baseline ratio is stable across runs — the 3-step live
@@ -271,22 +307,24 @@ def main():
 
     hp = {"tf_lr": 0.03, "tf_b1": 0.9, "tf_eps": None}
 
-    def time_adam(loss, label):
-        runner = AdamRunner(loss, hp)
-        opt_state = runner.init(params)
+    def time_adam(loss, label, p0=None, b0=None, lr=None):
+        runner = AdamRunner(loss, dict(hp, tf_lr=lr or hp["tf_lr"]))
+        pp = params if p0 is None else p0
+        bb = batch if b0 is None else b0
+        opt_state = runner.init(pp)
         # Chunk of 10 matches the Trainer's CHUNK_CAP (remote-compiler
         # compile time scales with scan trip count; runtime is
         # unaffected).
         chunk = 10
-        log(f"compiling {label} adam chunk ({chunk} steps, N_f={n_f})...")
+        log(f"compiling {label} adam chunk ({chunk} steps)...")
         t0 = time.time()
-        p, s, losses = runner.run(params, opt_state, batch, chunk)
+        p, s, losses = runner.run(pp, opt_state, bb, chunk)
         jax.block_until_ready(losses)
         log(f"  compile+first chunk: {time.time() - t0:.1f}s")
         t0 = time.time()
         reps = 5 if smoke else 50
         for _ in range(reps):
-            p, s, losses = runner.run(p, s, batch, chunk)
+            p, s, losses = runner.run(p, s, bb, chunk)
         jax.block_until_ready(losses)
         sps = reps * chunk / (time.time() - t0)
         log(f"  {label} adam steps/s: {sps:.1f}")
@@ -309,6 +347,7 @@ def main():
         "tf_baseline_source": base_src,
         "n_f": n_f,
     }
+    record.update(flops_fields("", adam_sps, n_f, LAYERS))
     emit(record)
 
     # --- Optional: fused Pallas forward+backward training kernel. A
@@ -331,7 +370,89 @@ def main():
             "fused_steps_per_sec": round(fused_sps, 2),
             "residual_evals_per_sec_per_chip": round(best * n_f, 0),
         })
+        record.update(flops_fields("", best, n_f, LAYERS))
         emit(record)
+
+    # --- Family metric #2: Schrödinger training throughput (VERDICT r4
+    # item 6 — BASELINE.md's north-star names Burgers AND Schrödinger).
+    # Reference shape (inf_cont_schrodinger.py:25-40); fused Pallas
+    # kernel on TPU (the S-family throughput path), XLA Taylor
+    # otherwise.
+    if remaining() > 75:
+        try:
+            n_f_s = 2000 if smoke else N_F_S
+            p_s = mlp.init_mlp(jax.random.PRNGKey(7), LAYERS_SCHRO, dtype)
+            lb_s = jnp.array([-5.0, 0.0], dtype)
+            ub_s = jnp.array([5.0, np.pi / 2], dtype)
+            lbn, ubn = np.asarray(lb_s), np.asarray(ub_s)
+            x0 = lbn[0] + (ubn[0] - lbn[0]) * rng.rand(N0_S, 1)
+            tb = rng.rand(NB_S, 1) * (ubn[1] - lbn[1])
+            b_s = {"X0": jnp.asarray(np.hstack([x0, np.zeros((N0_S, 1))]),
+                                     dtype),
+                   "H0": jnp.asarray(rng.rand(N0_S, 2), dtype),
+                   "X_lb": jnp.asarray(
+                       np.hstack([np.full((NB_S, 1), lbn[0]), tb]), dtype),
+                   "X_ub": jnp.asarray(
+                       np.hstack([np.full((NB_S, 1), ubn[0]), tb]), dtype),
+                   "X_f": jnp.asarray(
+                       lbn + (ubn - lbn) * rng.rand(n_f_s, 2), dtype)}
+            if backend == "tpu":
+                from pinn.ops.pallas_schrodinger import (
+                    make_schrodinger_loss)
+                s_loss = make_schrodinger_loss(lbn, ubn)
+                s_label = "schrodinger-fused"
+            else:
+                from pinn.problems import schrodinger as sprob
+
+                def s_loss(p, b):
+                    return sprob.loss(p, b["X0"], b["H0"], b["X_lb"],
+                                      b["X_ub"], b["X_f"], lb_s, ub_s)
+                s_label = "schrodinger-xla"
+            s_sps = time_adam(s_loss, s_label, p0=p_s, b0=b_s)
+            record["schrodinger_train_steps_per_sec"] = round(s_sps, 2)
+            record["schrodinger_n_f"] = n_f_s
+            record.update(flops_fields("schrodinger_", s_sps, n_f_s,
+                                       LAYERS_SCHRO))
+            emit(record)
+        except Exception as e:  # pragma: no cover
+            log(f"schrodinger section unavailable: {type(e).__name__}: {e}")
+    else:
+        log(f"skipping schrodinger section ({remaining():.0f}s budget left)")
+
+    # --- Family metric #3: disc-IRK (q=500) training throughput.
+    # Reference shape (1d-burgers/inf_disc_burgers.py): [1,50x3,501]
+    # net, 250 snapshot points, q-stage Gauss-Legendre coupling — the
+    # (N, q+1) @ (q+1, q) IRK matmul is the MXU-shaped hot op.
+    if remaining() > 60:
+        try:
+            from pinn import irk
+            q = 100 if smoke else Q_DISC
+            layers_d = LAYERS_DISC[:-1] + [q + 1]
+            p_d = mlp.init_mlp(jax.random.PRNGKey(9), layers_d, dtype)
+            irk_w = jnp.asarray(irk.irk_weights(q)[0], dtype)
+            lb_d = jnp.array([-1.0], dtype)
+            ub_d = jnp.array([1.0], dtype)
+            dt_d = 0.8
+            b_d = {"x_0": jnp.asarray(rng.rand(N_N_DISC, 1) * 2 - 1, dtype),
+                   "u_0": jnp.asarray(rng.rand(N_N_DISC, 1), dtype),
+                   "x_1": jnp.asarray(np.array([[-1.0], [1.0]]), dtype)}
+
+            def d_loss(p, b):
+                return burgers.loss_disc_inference(
+                    p, b["x_0"], b["u_0"], b["x_1"], lb_d, ub_d, nu,
+                    dt_d, irk_w)
+
+            d_sps = time_adam(d_loss, f"disc-irk-q{q}", p0=p_d, b0=b_d,
+                              lr=0.001)
+            record["disc_irk_train_steps_per_sec"] = round(d_sps, 2)
+            record["disc_irk_q"] = q
+            record.update(flops_fields("disc_irk_", d_sps, N_N_DISC,
+                                       layers_d))
+            emit(record)
+        except Exception as e:  # pragma: no cover
+            log(f"disc-irk section unavailable: {type(e).__name__}: {e}")
+    else:
+        log(f"skipping disc-irk section ({remaining():.0f}s budget left)")
 
     # --- Optional: bf16-stream fused variant. Warmup-grade precision
     # (~3 decimal digits on the residual), so it is reported as an
