@@ -92,8 +92,28 @@ def train_once(hp, dtype, data, noise: float, logger):
     case = "noisy" if noise else None
     params0 = maybe_load_params(hp, params0, case)
 
-    def loss_fn(p, b):
-        return ns.loss_identification(p, b["X"], b["u"], b["v"], lb, ub)
+    if hp.get("net_impl") == "df32":
+        # Compensated-f32 refinement engine (pinn/ops/df32.py): the
+        # TPU-native replacement for the emulated-f64 warm-start tail —
+        # NS is the family with the most wall-clock behind that tail
+        # (8k f64 iters over 13 Taylor streams, RESULTS.md NS rows).
+        if dtype != jnp.float64:
+            raise ValueError("net_impl='df32' requires dtype=float64")
+        if jax.default_backend() == "cpu":
+            print("WARNING: net_impl='df32' on CPU degrades to ~f32 "
+                  "accuracy under jit; drop net_impl on CPU — native "
+                  "float64 is faster and more accurate there")
+        from pinn.ops.df32 import make_ns_ide_loss_df32
+
+        _df32_loss = make_ns_ide_loss_df32(np.asarray(data.lb),
+                                           np.asarray(data.ub))
+
+        def loss_fn(p, b):
+            return _df32_loss(p, b)
+    else:
+        def loss_fn(p, b):
+            return ns.loss_identification(p, b["X"], b["u"], b["v"],
+                                          lb, ub)
 
     def epoch_extra(p):
         l1, l2 = get_lambdas(p)

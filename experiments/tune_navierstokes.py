@@ -1,0 +1,92 @@
+"""Recipe probes for Navier–Stokes identification accuracy (VERDICT r4
+items 2/3: fix λ1 — 4.25% clean error vs the paper's sub-1% — and
+deploy the df32 engine on the family's dominant f64 tail).
+
+Each probe chains stages through per-case checkpoints (the experiment
+trains clean AND 1%-noise models per run) and prints one PROBE JSON
+line with both λ pairs, per-λ relative errors, and field errors.
+
+Usage: python experiments/tune_navierstokes.py N1 N2 ... [--seed=1234]
+
+Probe map (measured rows land in RESULTS.md):
+  N0   the round-4 campaign recipe (mixed 5k+15k → f64 8k) — anchor
+  N1   equal-schedule A/B: the f64 tail swapped for df32 (speed + λ)
+  N2   df32 tail at 30k iters (what the ~5x/iter buys: a λ1 tail 3.75x
+       longer than round 4's at a fraction of the wall-clock)
+  N3   N2 + N_u=10000 (data-size lever)
+  N4   mixed-only at N_u=2000 (sweep point, no tail)
+  N5   mixed-only at N_u=10000 (sweep point, no tail)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from _common import setup  # noqa: F401 (path side effect)
+
+import ide_cont_navierstokes as exp
+
+LOGS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "logs")
+
+MIXED = {"nt_vector_dtype": "float64", "nt_dir_impl": "matrix",
+         "tf_epochs": 5000, "nt_epochs": 15000, "log_frequency": 1000}
+F64_TAIL = {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0,
+            "log_frequency": 500}
+DF32_TAIL = {**F64_TAIL, "net_impl": "df32", "log_frequency": 2000}
+
+PROBES = {
+    "N0": {"stages": [dict(MIXED), {**F64_TAIL, "nt_epochs": 8000}]},
+    "N1": {"stages": [dict(MIXED), {**DF32_TAIL, "nt_epochs": 8000}]},
+    "N2": {"stages": [dict(MIXED), {**DF32_TAIL, "nt_epochs": 30000}]},
+    "N3": {"stages": [{**MIXED, "N_u": 10000},
+                      {**DF32_TAIL, "nt_epochs": 30000, "N_u": 10000}]},
+    "N4": {"stages": [{**MIXED, "N_u": 2000}]},
+    "N5": {"stages": [{**MIXED, "N_u": 10000}]},
+}
+
+
+def run_probe(name: str, seed: int) -> dict:
+    spec = PROBES[name]
+    stages = spec["stages"]
+    t0 = time.time()
+    ckpt = None
+    result = None
+    for i, stage in enumerate(stages):
+        hp = dict(stage, seed=seed)
+        if ckpt:
+            hp["init_checkpoint"] = ckpt
+        if i + 1 < len(stages):
+            ckpt = os.path.join(LOGS, f"ns_{name}_stage{i}.npz")
+            hp["save_checkpoint"] = ckpt
+        result = exp.run(hp, plot=False)
+    l1, l2 = result["lambdas"]
+    l1n, l2n = result["lambdas_noisy"]
+    l1s, l2s = exp.LAMBDAS_STAR
+    return {"probe": name, "seed": seed,
+            "error": result["error"],
+            "lambda1": l1, "lambda2": l2,
+            "lambda1_noisy": l1n, "lambda2_noisy": l2n,
+            "l1_err_pct": round(100 * abs(l1 - l1s) / l1s, 4),
+            "l2_err_pct": round(100 * abs(l2 - l2s) / l2s, 4),
+            "l1_noisy_err_pct": round(100 * abs(l1n - l1s) / l1s, 4),
+            "l2_noisy_err_pct": round(100 * abs(l2n - l2s) / l2s, 4),
+            "field_errors": result["field_errors"],
+            "duration_s": round(time.time() - t0, 1)}
+
+
+def main():
+    names = [a for a in sys.argv[1:] if a in PROBES]
+    seeds = [int(a.split("=")[1]) for a in sys.argv[1:]
+             if a.startswith("--seed=")] or [1234]
+    for seed in seeds:
+        for name in names:
+            row = run_probe(name, seed)
+            print("PROBE " + json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -557,6 +557,141 @@ def make_schrodinger_loss_df32(lb, ub):
     return loss_fn
 
 
+class NSStreamsDF(NamedTuple):
+    """df32 mirror of pinn.problems.navierstokes.NSStreams."""
+
+    v: DF
+    x: DF
+    y: DF
+    t: DF
+    xx: DF
+    xy: DF
+    yy: DF
+    xt: DF
+    yt: DF
+    xxx: DF
+    xxy: DF
+    xyy: DF
+    yyy: DF
+
+
+def ns_taylor_apply_df32(params, X, lb, ub) -> NSStreamsDF:
+    """The 13 Navier–Stokes mixed-partial streams (value; x y t; xx xy
+    yy xt yt; xxx xxy xyy yyy) in df32 — the same multivariate
+    Faà-di-Bruno recurrence as pinn.problems.navierstokes.ns_taylor_apply
+    with every value a compensated (hi, lo) pair.
+
+    Why: the NS identification recipe's f64 warm-start tail is 8k
+    emulated-f64 iterations over these 13 streams and dominates the
+    family's wall-clock (RESULTS.md NS rows); df32 runs the same
+    extended-precision refinement on the VPU at a fraction of the
+    emulator's cost, buying the λ1 tail many more iterations."""
+    scale = 2.0 / (ub - lb)
+    a = from_f64(2.0 * (X - lb) / (ub - lb) - 1.0)
+    pd = _split_params(params)
+
+    # ---- first affine layer: constant tangent rows per coordinate ----
+    w, b = pd[0]
+    z = add(matmul(a, w), b)
+
+    def _const_row(i):
+        # scale[i] * w[i, :] as an exact df32 product of the split w row
+        row = mul(DF(w.hi[i], w.lo[i]), const(float(scale[i])))
+        return DF(jnp.broadcast_to(row.hi, z.shape),
+                  jnp.broadcast_to(row.lo, z.shape))
+
+    zx, zy, zt = _const_row(0), _const_row(1), _const_row(2)
+
+    if len(pd) == 1:  # single linear layer: all curvature is zero
+        zero = DF(jnp.zeros_like(z.hi), jnp.zeros_like(z.lo))
+        return NSStreamsDF(z, zx, zy, zt, *([zero] * 9))
+
+    t = tanh(z)
+    sp = 1.0 - t * t
+    spp = -2.0 * t * sp
+    sppp = -2.0 * sp * (1.0 - 3.0 * t * t)
+    st = (t, sp * zx, sp * zy, sp * zt,
+          spp * zx * zx, spp * zx * zy, spp * zy * zy,
+          spp * zx * zt, spp * zy * zt,
+          sppp * zx * zx * zx, sppp * zx * zx * zy,
+          sppp * zx * zy * zy, sppp * zy * zy * zy)
+
+    def hidden(carry, wb):
+        (a_, ax, ay, at, axx, axy, ayy, axt, ayt,
+         axxx, axxy, axyy, ayyy) = carry
+        w, b = wb
+        z = add(matmul(a_, w), b)
+        zx, zy, zt = matmul(ax, w), matmul(ay, w), matmul(at, w)
+        zxx, zxy, zyy = matmul(axx, w), matmul(axy, w), matmul(ayy, w)
+        zxt, zyt = matmul(axt, w), matmul(ayt, w)
+        zxxx, zxxy = matmul(axxx, w), matmul(axxy, w)
+        zxyy, zyyy = matmul(axyy, w), matmul(ayyy, w)
+
+        t = tanh(z)
+        sp = 1.0 - t * t
+        spp = -2.0 * t * sp
+        sppp = -2.0 * sp * (1.0 - 3.0 * t * t)
+        return (t, sp * zx, sp * zy, sp * zt,
+                spp * zx * zx + sp * zxx,
+                spp * zx * zy + sp * zxy,
+                spp * zy * zy + sp * zyy,
+                spp * zx * zt + sp * zxt,
+                spp * zy * zt + sp * zyt,
+                sppp * zx * zx * zx + 3.0 * (spp * zx * zxx) + sp * zxxx,
+                sppp * zx * zx * zy
+                + spp * (zxx * zy + 2.0 * (zxy * zx)) + sp * zxxy,
+                sppp * zx * zy * zy
+                + spp * (zyy * zx + 2.0 * (zxy * zy)) + sp * zxyy,
+                sppp * zy * zy * zy + 3.0 * (spp * zy * zyy) + sp * zyyy,
+                ), None
+
+    stacked = _stack_mids(pd)
+    if stacked is not None:
+        st, _ = jax.lax.scan(hidden, st, stacked)
+    else:
+        for wb in pd[1:-1]:
+            st, _ = hidden(st, wb)
+
+    w, b = pd[-1]
+    return NSStreamsDF(add(matmul(st[0], w), b),
+                       *(matmul(s, w) for s in st[1:]))
+
+
+def make_ns_ide_loss_df32(lb, ub):
+    """loss(NSIdeParams_f64, batch) -> f64 scalar: the Navier–Stokes
+    identification loss (pinn.problems.navierstokes.loss_identification
+    — MSE(u) + MSE(v) + MSE(f_u) + MSE(f_v)) evaluated in df32.
+
+    λ1/λ2 stay f64 trainables; their df32 splits are exact and the
+    outer jax.grad flows through the hi words (from_f64)."""
+    lb64 = np.asarray(lb, np.float64)
+    ub64 = np.asarray(ub, np.float64)
+
+    def loss_fn(params, batch):
+        s = ns_taylor_apply_df32(params.net, batch["X"], lb64, ub64)
+
+        def psi(st: DF) -> DF:
+            return st[:, 0:1]
+
+        u, v = psi(s.y), -psi(s.x)
+        u_t, u_x, u_y = psi(s.yt), psi(s.xy), psi(s.yy)
+        u_xx, u_yy = psi(s.xxy), psi(s.yyy)
+        v_t, v_x, v_y = -psi(s.xt), -psi(s.xx), -psi(s.xy)
+        v_xx, v_yy = -psi(s.xxx), -psi(s.xyy)
+        p_x, p_y = s.x[:, 1:2], s.y[:, 1:2]
+
+        l1 = from_f64(params.lambda1)
+        l2 = from_f64(params.lambda2)
+        f_u = u_t + l1 * (u * u_x + v * u_y) + p_x - l2 * (u_xx + u_yy)
+        f_v = v_t + l1 * (u * v_x + v * v_y) + p_y - l2 * (v_xx + v_yy)
+        total = (_mse(from_f64(batch["u"]) - u)
+                 + _mse(from_f64(batch["v"]) - v)
+                 + _mse(f_u) + _mse(f_v))
+        return to_f64(total)
+
+    return loss_fn
+
+
 def make_burgers_loss_df32(lb, ub, nu):
     """loss(params_f64, batch) -> f64 scalar, Burgers continuous
     inference (MSE(data) + MSE(u_t + u u_x - nu u_xx)) evaluated in

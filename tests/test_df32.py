@@ -239,6 +239,67 @@ def test_schrodinger_loss_df32_matches_f64():
     assert cos > 1 - 1e-6, cos
 
 
+def test_ns_ide_loss_df32_matches_f64():
+    from pinn.models import mlp
+    from pinn.problems import navierstokes as ns
+    layers = [3, 10, 10, 10, 2]
+    lb = np.array([0.0, 0.0, 0.0])
+    ub = np.array([2 * np.pi, 2 * np.pi, 2.0])
+    net = mlp.init_mlp(jax.random.PRNGKey(5), layers, jnp.float64)
+    params = ns.NSIdeParams(net=net,
+                            lambda1=jnp.asarray([0.9], jnp.float64),
+                            lambda2=jnp.asarray([0.01], jnp.float64))
+    rng = np.random.default_rng(13)
+    X = jnp.asarray(lb + (ub - lb) * rng.random((48, 3)))
+    u = jnp.asarray(rng.standard_normal((48, 1)) * 0.3)
+    v = jnp.asarray(rng.standard_normal((48, 1)) * 0.3)
+    batch = {"X": X, "u": u, "v": v}
+
+    loss_dd = dd.make_ns_ide_loss_df32(lb, ub)
+    l_dd = float(_jit_nofuse(loss_dd, params, batch))
+    l_64 = float(ns.loss_identification(params, X, u, v,
+                                        jnp.asarray(lb), jnp.asarray(ub)))
+    assert abs(l_dd - l_64) / abs(l_64) < 1e-9, (l_dd, l_64)
+
+    g_dd = _jit_nofuse(jax.grad(loss_dd), params, batch)
+    g_64 = jax.grad(lambda p: ns.loss_identification(
+        p, X, u, v, jnp.asarray(lb), jnp.asarray(ub)))(params)
+    gd = jnp.concatenate([x.reshape(-1)
+                          for x in jax.tree_util.tree_leaves(g_dd)])
+    g6 = jnp.concatenate([x.reshape(-1)
+                          for x in jax.tree_util.tree_leaves(g_64)])
+    cos = float(jnp.vdot(gd, g6) / (jnp.linalg.norm(gd) * jnp.linalg.norm(g6)))
+    assert cos > 1 - 1e-6, cos
+    rel = float(jnp.linalg.norm(gd - g6) / jnp.linalg.norm(g6))
+    assert rel < 1e-3, rel
+    # λ gradients specifically (the identification trainables)
+    for leaf_dd, leaf_64 in ((g_dd.lambda1, g_64.lambda1),
+                             (g_dd.lambda2, g_64.lambda2)):
+        assert abs(float(leaf_dd[0]) - float(leaf_64[0])) \
+            <= 1e-5 * abs(float(leaf_64[0])) + 1e-10
+
+
+def test_ns_streams_df32_match_f64_oracle():
+    """All 13 df32 streams vs the f64 ns_taylor_apply on a tiny net."""
+    from pinn.models import mlp
+    from pinn.problems import navierstokes as ns
+    layers = [3, 9, 9, 2]
+    lb = np.array([-1.0, -1.0, 0.0])
+    ub = np.array([1.0, 1.0, 1.0])
+    net = mlp.init_mlp(jax.random.PRNGKey(8), layers, jnp.float64)
+    rng = np.random.default_rng(17)
+    X = jnp.asarray(lb + (ub - lb) * rng.random((32, 3)))
+    s_dd = _jit_nofuse(lambda p, x: dd.ns_taylor_apply_df32(
+        p, x, np.asarray(lb), np.asarray(ub)), net, X)
+    s_64 = ns.ns_taylor_apply(net, X, jnp.asarray(lb), jnp.asarray(ub))
+    for name in ns.NSStreams._fields:
+        got = to64(getattr(s_dd, name))
+        ref = np.asarray(getattr(s_64, name))
+        scale = max(np.abs(ref).max(), 1e-12)
+        assert np.abs(got - ref).max() / scale < 1e-9, (
+            name, np.abs(got - ref).max() / scale)
+
+
 # ---------------------------------------------------------------------------
 # Real-chip tier: jit exactness on TPU (the deployment configuration)
 # ---------------------------------------------------------------------------
