@@ -38,6 +38,22 @@ PROBES = {
         {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 6000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]},
+    # Round 5 (VERDICT r4 item 2): the CAMPAIGN recipe (armijo, no
+    # resample — the recorded 1.2270e-3 configuration) with its f64
+    # refinement tail swapped for the df32 engine.  Schrödinger is the
+    # most f64-refinement-dominated family, so this is where the
+    # compensated-f32 tail buys the most wall-clock.
+    "S3": {"stages": [
+        {**MIXED, "tf_epochs": 2000, "nt_epochs": 15000},
+        {"dtype": "float64", "net_impl": "df32", "tf_epochs": 0,
+         "nt_epochs": 6000, "log_frequency": 2000},
+    ]},
+    # S3 with the speed dividend spent on a 2.5x longer tail.
+    "S4": {"stages": [
+        {**MIXED, "tf_epochs": 2000, "nt_epochs": 15000},
+        {"dtype": "float64", "net_impl": "df32", "tf_epochs": 0,
+         "nt_epochs": 15000, "log_frequency": 3000},
+    ]},
 }
 
 
