@@ -81,10 +81,24 @@ def train_once(hp, dtype, noise: float, logger):
     case = "noisy" if noise else None
     params0 = maybe_load_params(hp, params0, case)
 
-    def loss_fn(p, b):
-        return burgers.loss_disc_identification(
-            p, b["x_0"], b["u_0"], b["x_1"], b["u_1"],
-            lbj, ubj, data.dt, alpha, beta)
+    if hp.get("net_impl") == "df32":
+        # Compensated-f32 refinement engine (pinn/ops/df32.py) for the
+        # D2-style warm-start tails — replaces the emulated-f64 stage.
+        if dtype != jnp.float64:
+            raise ValueError("net_impl='df32' requires dtype=float64")
+        from pinn.ops.df32 import make_burgers_disc_ide_loss_df32
+
+        _df32_loss = make_burgers_disc_ide_loss_df32(
+            np.array([-1.0]), np.array([1.0]), data.dt,
+            data.IRK_alpha, data.IRK_beta)
+
+        def loss_fn(p, b):
+            return _df32_loss(p, b)
+    else:
+        def loss_fn(p, b):
+            return burgers.loss_disc_identification(
+                p, b["x_0"], b["u_0"], b["x_1"], b["u_1"],
+                lbj, ubj, data.dt, alpha, beta)
 
     def epoch_extra(p):
         l1, l2 = get_lambdas(p)

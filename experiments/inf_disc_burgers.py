@@ -80,9 +80,23 @@ def run(hp=None, plot=False, save_path=None):
     net = mlp.init_mlp(key, hp["layers"], dtype)
     net = maybe_load_params(hp, net)
 
-    def loss_fn(p, b):
-        return burgers.loss_disc_inference(
-            p, b["x_0"], b["u_0"], b["x_1"], lbj, ubj, nu, data.dt, irk_w)
+    if hp.get("net_impl") == "df32":
+        # Compensated-f32 refinement engine (pinn/ops/df32.py) for the
+        # D1-style warm-start tails — replaces the emulated-f64 stage.
+        if dtype != jnp.float64:
+            raise ValueError("net_impl='df32' requires dtype=float64")
+        from pinn.ops.df32 import make_burgers_disc_inf_loss_df32
+
+        _df32_loss = make_burgers_disc_inf_loss_df32(
+            lb, ub, nu, data.dt, data.IRK_weights)
+
+        def loss_fn(p, b):
+            return _df32_loss(p, b)
+    else:
+        def loss_fn(p, b):
+            return burgers.loss_disc_inference(
+                p, b["x_0"], b["u_0"], b["x_1"], lbj, ubj, nu, data.dt,
+                irk_w)
 
     # Prediction: the network's last output column is u(t1, x)
     # (reference inf_disc_burgers.py:125-127).

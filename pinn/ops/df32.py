@@ -436,12 +436,14 @@ class TaylorOutDF(NamedTuple):
     d2: DF
 
 
-def taylor_apply_df32(params, X, lb, ub, v1, v2) -> TaylorOutDF:
-    """Forward Taylor streams (value, dv1, d²v1, dv2) in df32.
+def taylor_apply_df32(params, X, lb, ub, v1, v2=None) -> TaylorOutDF:
+    """Forward Taylor streams (value, dv1, d²v1[, dv2]) in df32.
 
     The same recurrence as mlp.taylor_apply order=2: per hidden layer
-    four df32 matmuls then the tanh chain-rule combinations.  v1/v2 are
-    f64 direction vectors in input space."""
+    3-4 df32 matmuls then the tanh chain-rule combinations.  v1/v2 are
+    f64 direction vectors in input space; ``v2=None`` skips the fourth
+    stream (the disc-IRK families differentiate along x only) and
+    returns ``d2=None``."""
     scale = 2.0 / (ub - lb)
     a = from_f64(2.0 * (X - lb) / (ub - lb) - 1.0)
     pd = _split_params(params)
@@ -449,10 +451,14 @@ def taylor_apply_df32(params, X, lb, ub, v1, v2) -> TaylorOutDF:
     # ---- first affine layer (input tangents are constant rows) ----
     w, b = pd[0]
     z = add(matmul(a, w), b)
-    z1 = matmul(from_f64((v1 * scale)[None, :]), w)
-    z1 = DF(jnp.broadcast_to(z1.hi, z.shape), jnp.broadcast_to(z1.lo, z.shape))
-    z2 = matmul(from_f64((v2 * scale)[None, :]), w)
-    z2 = DF(jnp.broadcast_to(z2.hi, z.shape), jnp.broadcast_to(z2.lo, z.shape))
+
+    def _const_row(v):
+        r = matmul(from_f64((v * scale)[None, :]), w)
+        return DF(jnp.broadcast_to(r.hi, z.shape),
+                  jnp.broadcast_to(r.lo, z.shape))
+
+    z1 = _const_row(v1)
+    z2 = _const_row(v2) if v2 is not None else None
 
     if len(pd) == 1:  # single linear layer (mirrors mlp.taylor_apply)
         zero = DF(jnp.zeros_like(z.hi), jnp.zeros_like(z.lo))
@@ -465,38 +471,42 @@ def taylor_apply_df32(params, X, lb, ub, v1, v2) -> TaylorOutDF:
     a1 = mul(sp, z1)
     spp = mul(mul(const(-2.0), t), sp)                     # -2 t (1-t²)
     a11 = mul(mul(spp, z1), z1)                            # z11 == 0 here
-    a2 = mul(sp, z2)
+    a2 = mul(sp, z2) if z2 is not None else None
 
     # ---- remaining hidden layers (scan over depth when homogeneous:
     # keeps the traced graph O(1) in layer count, see matmul) ----
     def hidden(carry, wb):
-        a_, a1, a11, a2 = carry
+        a_, a1, a11 = carry[:3]
+        a2 = carry[3] if len(carry) == 4 else None
         w, b = wb
         z = add(matmul(a_, w), b)
         z1 = matmul(a1, w)
         z11 = matmul(a11, w)
-        z2 = matmul(a2, w)
         t = tanh(z)
         sp = add(broadcast_to(one, t.shape), neg(mul(t, t)))
         spp = mul(mul(const(-2.0), t), sp)
-        return (t, mul(sp, z1),
-                add(mul(mul(spp, z1), z1), mul(sp, z11)),
-                mul(sp, z2)), None
+        out = (t, mul(sp, z1),
+               add(mul(mul(spp, z1), z1), mul(sp, z11)))
+        if a2 is not None:
+            out = out + (mul(sp, matmul(a2, w)),)
+        return out, None
 
+    carry = (a_, a1, a11) + ((a2,) if a2 is not None else ())
     stacked = _stack_mids(pd)
     if stacked is not None:
-        (a_, a1, a11, a2), _ = jax.lax.scan(
-            hidden, (a_, a1, a11, a2), stacked)
+        carry, _ = jax.lax.scan(hidden, carry, stacked)
     else:
         for wb in pd[1:-1]:
-            (a_, a1, a11, a2), _ = hidden((a_, a1, a11, a2), wb)
+            carry, _ = hidden(carry, wb)
+    a_, a1, a11 = carry[:3]
+    a2 = carry[3] if len(carry) == 4 else None
 
     # ---- linear output layer ----
     w, b = pd[-1]
     return TaylorOutDF(value=add(matmul(a_, w), b),
                        d1=matmul(a1, w),
                        d11=matmul(a11, w),
-                       d2=matmul(a2, w))
+                       d2=matmul(a2, w) if a2 is not None else None)
 
 
 def _mse(x: DF) -> DF:
@@ -504,6 +514,14 @@ def _mse(x: DF) -> DF:
     sq = mul(x, x)
     flat = DF(sq.hi.reshape(-1), sq.lo.reshape(-1))
     return div(sum_pairwise(flat, axis=0), const(float(flat.hi.shape[0])))
+
+
+def _sse(x: DF) -> DF:
+    """sum(x²) — the disc-IRK families' SSE contract (reference
+    inf_disc_burgers.py:91-94 sums, it does not average)."""
+    sq = mul(x, x)
+    flat = DF(sq.hi.reshape(-1), sq.lo.reshape(-1))
+    return sum_pairwise(flat, axis=0)
 
 
 def make_schrodinger_loss_df32(lb, ub):
@@ -553,6 +571,72 @@ def make_schrodinger_loss_df32(lb, ub):
                                mul(h2, u))))
         mse_f = add(_mse(f_u), _mse(f_v))
         return to_f64(add(mse_0, add(mse_b, mse_f)))
+
+    return loss_fn
+
+
+def _split_np(arr) -> DF:
+    """Exact (hi, lo) split of a host-side f64 constant (no x64 config
+    dependence — the split happens in numpy)."""
+    a64 = np.asarray(arr, np.float64)
+    hi = a64.astype(np.float32)
+    lo = (a64 - hi.astype(np.float64)).astype(np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def make_burgers_disc_inf_loss_df32(lb, ub, nu, dt, irk_weights):
+    """loss(params_f64, batch) -> f64 scalar: discrete-IRK Burgers
+    inference (SSE(t0 snapshot) + SSE(Dirichlet boundary), reference
+    inf_disc_burgers.py:61-94) in df32 — the refinement-tail engine for
+    the D1-style recipes.  The (N, q) @ (q, q+1) IRK coupling runs
+    through the compensated scan matmul."""
+    lb64 = np.asarray(lb, np.float64)
+    ub64 = np.asarray(ub, np.float64)
+    w_T = _split_np(np.asarray(irk_weights).T)  # (q, q+1)
+    v1 = np.array([1.0])
+    nu_dd = const(float(nu))
+    dt_dd = const(float(dt))
+
+    def loss_fn(params, batch):
+        out = taylor_apply_df32(params, batch["x_0"], lb64, ub64, v1)
+        U1, U1_x, U1_xx = out.value, out.d1, out.d11
+        U, U_x, U_xx = U1[:, :-1], U1_x[:, :-1], U1_xx[:, :-1]
+        N = U * U_x - nu_dd * U_xx
+        u0_pred = U1 + dt_dd * matmul(N, w_T)
+        u1_bnd = apply_df32(params, batch["x_1"], lb64, ub64)
+        return to_f64(_sse(u0_pred - from_f64(batch["u_0"]))
+                      + _sse(u1_bnd))
+
+    return loss_fn
+
+
+def make_burgers_disc_ide_loss_df32(lb, ub, dt, irk_alpha, irk_beta):
+    """loss(IdeParams_f64, batch) -> f64 scalar: discrete-IRK Burgers
+    identification across two snapshots (reference
+    ide_disc_burgers.py:81-108) in df32.  λ1 is a raw f64 trainable;
+    λ2 = exp(log_λ2) is taken in f64 (one scalar) and split exactly."""
+    lb64 = np.asarray(lb, np.float64)
+    ub64 = np.asarray(ub, np.float64)
+    alpha_T = _split_np(np.asarray(irk_alpha).T)
+    bma_T = _split_np((np.asarray(irk_beta) - np.asarray(irk_alpha)).T)
+    v1 = np.array([1.0])
+    dt_dd = const(float(dt))
+
+    def stage_maps(params, x, l1, l2):
+        out = taylor_apply_df32(params.net, x, lb64, ub64, v1)
+        U, U_x, U_xx = out.value, out.d1, out.d11
+        N = l1 * (U * U_x) - l2 * U_xx
+        U_0 = U + dt_dd * matmul(N, alpha_T)
+        U_1 = U + dt_dd * matmul(-N, bma_T)
+        return U_0, U_1
+
+    def loss_fn(params, batch):
+        l1 = from_f64(params.lambda1)
+        l2 = from_f64(jnp.exp(params.log_lambda2))
+        U_0_pred, _ = stage_maps(params, batch["x_0"], l1, l2)
+        _, U_1_pred = stage_maps(params, batch["x_1"], l1, l2)
+        return to_f64(_sse(U_0_pred - from_f64(batch["u_0"]))
+                      + _sse(U_1_pred - from_f64(batch["u_1"])))
 
     return loss_fn
 

@@ -239,6 +239,75 @@ def test_schrodinger_loss_df32_matches_f64():
     assert cos > 1 - 1e-6, cos
 
 
+def test_disc_losses_df32_match_f64():
+    """Disc-IRK inference + identification losses and grads vs f64."""
+    from pinn import irk
+    from pinn.models import mlp
+    from pinn.problems import burgers
+    q = 12
+    layers_inf = [1, 14, 14, q + 1]
+    lb, ub = np.array([-1.0]), np.array([1.0])
+    nu, dt = 0.01 / np.pi, 0.8
+    W = irk.irk_weights(q)[0]
+    rng = np.random.default_rng(23)
+
+    net = mlp.init_mlp(jax.random.PRNGKey(2), layers_inf, jnp.float64)
+    batch = {"x_0": jnp.asarray(rng.uniform(-1, 1, (20, 1))),
+             "u_0": jnp.asarray(rng.standard_normal((20, q + 1)) * 0.4),
+             "x_1": jnp.asarray(np.array([[-1.0], [1.0]]))}
+    loss_dd = dd.make_burgers_disc_inf_loss_df32(lb, ub, nu, dt, W)
+    l_dd = float(_jit_nofuse(loss_dd, net, batch))
+    l_64 = float(burgers.loss_disc_inference(
+        net, batch["x_0"], batch["u_0"], batch["x_1"],
+        jnp.asarray(lb), jnp.asarray(ub), nu, dt, jnp.asarray(W)))
+    assert abs(l_dd - l_64) / abs(l_64) < 1e-9, (l_dd, l_64)
+    g_dd = _jit_nofuse(jax.grad(loss_dd), net, batch)
+    g_64 = jax.grad(lambda p: burgers.loss_disc_inference(
+        p, batch["x_0"], batch["u_0"], batch["x_1"],
+        jnp.asarray(lb), jnp.asarray(ub), nu, dt, jnp.asarray(W)))(net)
+    gd = jnp.concatenate([x.reshape(-1)
+                          for x in jax.tree_util.tree_leaves(g_dd)])
+    g6 = jnp.concatenate([x.reshape(-1)
+                          for x in jax.tree_util.tree_leaves(g_64)])
+    assert float(jnp.linalg.norm(gd - g6) / jnp.linalg.norm(g6)) < 1e-3
+
+    # identification: alpha = dt-weighted A rows, beta = b broadcast
+    tab = irk.gauss_legendre_irk(q)
+    alpha = tab.A
+    beta = np.tile(tab.b[None, :], (q, 1))
+    net_i = mlp.init_mlp(jax.random.PRNGKey(4), [1, 14, 14, q],
+                         jnp.float64)
+    params = burgers.init_ide_params(net_i, jnp.float64)
+    params = params._replace(lambda1=jnp.asarray([0.9], jnp.float64),
+                             log_lambda2=jnp.asarray([-5.0], jnp.float64))
+    batch_i = {"x_0": jnp.asarray(rng.uniform(-1, 1, (16, 1))),
+               "u_0": jnp.asarray(rng.standard_normal((16, q)) * 0.4),
+               "x_1": jnp.asarray(rng.uniform(-1, 1, (18, 1))),
+               "u_1": jnp.asarray(rng.standard_normal((18, q)) * 0.4)}
+    loss_idd = dd.make_burgers_disc_ide_loss_df32(lb, ub, dt, alpha, beta)
+    l_idd = float(_jit_nofuse(loss_idd, params, batch_i))
+    l_i64 = float(burgers.loss_disc_identification(
+        params, batch_i["x_0"], batch_i["u_0"], batch_i["x_1"],
+        batch_i["u_1"], jnp.asarray(lb), jnp.asarray(ub), dt,
+        jnp.asarray(alpha), jnp.asarray(beta)))
+    assert abs(l_idd - l_i64) / abs(l_i64) < 1e-9, (l_idd, l_i64)
+    gi_dd = _jit_nofuse(jax.grad(loss_idd), params, batch_i)
+    gi_64 = jax.grad(lambda p: burgers.loss_disc_identification(
+        p, batch_i["x_0"], batch_i["u_0"], batch_i["x_1"],
+        batch_i["u_1"], jnp.asarray(lb), jnp.asarray(ub), dt,
+        jnp.asarray(alpha), jnp.asarray(beta)))(params)
+    gd = jnp.concatenate([x.reshape(-1)
+                          for x in jax.tree_util.tree_leaves(gi_dd)])
+    g6 = jnp.concatenate([x.reshape(-1)
+                          for x in jax.tree_util.tree_leaves(gi_64)])
+    assert float(jnp.linalg.norm(gd - g6) / jnp.linalg.norm(g6)) < 1e-3
+    # λ gradients specifically
+    assert abs(float(gi_dd.lambda1[0]) - float(gi_64.lambda1[0])) \
+        <= 1e-5 * abs(float(gi_64.lambda1[0]))
+    assert abs(float(gi_dd.log_lambda2[0]) - float(gi_64.log_lambda2[0])) \
+        <= 1e-5 * abs(float(gi_64.log_lambda2[0]))
+
+
 def test_ns_ide_loss_df32_matches_f64():
     from pinn.models import mlp
     from pinn.problems import navierstokes as ns
