@@ -127,9 +127,24 @@ def run(hp=None, plot=False, save_path=None):
     net = mlp.init_mlp(key, hp["layers"], dtype)
     net = maybe_load_params(hp, net)
 
-    def loss_fn(p, b):
-        return allencahn.loss_disc_inference(
-            p, b["x_0"], b["u_0"], b["x_bnd"], lbj, ubj, data.dt, irk_w)
+    if hp.get("net_impl") == "df32":
+        # Compensated-f32 refinement engine (pinn/ops/df32.py) for the
+        # fast-recipe warm-start tails — replaces the emulated-f64
+        # stage (VERDICT r4 item 4: the 3.1h CPU row).
+        if dtype != jnp.float64:
+            raise ValueError("net_impl='df32' requires dtype=float64")
+        from pinn.ops.df32 import make_allencahn_disc_loss_df32
+
+        _df32_loss = make_allencahn_disc_loss_df32(
+            lb, ub, data.dt, data.IRK_weights)
+
+        def loss_fn(p, b):
+            return _df32_loss(p, b)
+    else:
+        def loss_fn(p, b):
+            return allencahn.loss_disc_inference(
+                p, b["x_0"], b["u_0"], b["x_bnd"], lbj, ubj, data.dt,
+                irk_w)
 
     predict_u1 = jax.jit(
         lambda p, x: allencahn.predict_u1(p, x, lbj, ubj))

@@ -34,6 +34,10 @@ PROBES = {
     "A2": {"stages": [{**MIXED, "nt_epochs": 30000},
                       {**F64, "nt_epochs": 3000}]},
     "A3": {"stages": [dict(MIXED), {**F64, "nt_epochs": 10000}]},
+    # df32 tail (pinn/ops/df32.py): the emulated-f64 stage swapped for
+    # the compensated-f32 engine, tail 2x A1's at a fraction of the cost
+    "A1d": {"stages": [dict(MIXED),
+                       {**F64, "net_impl": "df32", "nt_epochs": 10000}]},
 }
 
 

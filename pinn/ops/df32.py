@@ -610,6 +610,37 @@ def make_burgers_disc_inf_loss_df32(lb, ub, nu, dt, irk_weights):
     return loss_fn
 
 
+def make_allencahn_disc_loss_df32(lb, ub, dt, irk_weights,
+                                  diff=1e-4, react=5.0):
+    """loss(params_f64, batch) -> f64 scalar: discrete-IRK Allen–Cahn
+    inference (pinn.problems.allencahn.loss_disc_inference — SSE(t0
+    snapshot) + SSE(periodic value gap) + SSE(periodic derivative gap))
+    in df32.  F = react (U³ − U) − diff U_xx; the [1, 200x4, q+1] net's
+    (N, q) @ (q, q+1) IRK coupling runs through the compensated scan
+    matmul."""
+    lb64 = np.asarray(lb, np.float64)
+    ub64 = np.asarray(ub, np.float64)
+    w_T = _split_np(np.asarray(irk_weights).T)  # (q, q+1)
+    v1 = np.array([1.0])
+    diff_dd = const(float(diff))
+    react_dd = const(float(react))
+    dt_dd = const(float(dt))
+
+    def loss_fn(params, batch):
+        out = taylor_apply_df32(params, batch["x_0"], lb64, ub64, v1)
+        U1, U1_xx = out.value, out.d11
+        U, U_xx = U1[:, :-1], U1_xx[:, :-1]
+        F = react_dd * (U * U * U - U) - diff_dd * U_xx
+        u0_pred = U1 + dt_dd * matmul(F, w_T)
+        bnd = taylor_apply_df32(params, batch["x_bnd"], lb64, ub64, v1)
+        gap_u = bnd.value[0] - bnd.value[1]
+        gap_ux = bnd.d1[0] - bnd.d1[1]
+        return to_f64(_sse(u0_pred - from_f64(batch["u_0"]))
+                      + _sse(gap_u) + _sse(gap_ux))
+
+    return loss_fn
+
+
 def make_burgers_disc_ide_loss_df32(lb, ub, dt, irk_alpha, irk_beta):
     """loss(IdeParams_f64, batch) -> f64 scalar: discrete-IRK Burgers
     identification across two snapshots (reference

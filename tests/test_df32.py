@@ -308,6 +308,37 @@ def test_disc_losses_df32_match_f64():
         <= 1e-5 * abs(float(gi_64.log_lambda2[0]))
 
 
+def test_allencahn_loss_df32_matches_f64():
+    from pinn import irk
+    from pinn.models import mlp
+    from pinn.problems import allencahn
+    q = 10
+    layers = [1, 16, 16, q + 1]
+    lb, ub = np.array([-1.0]), np.array([1.0])
+    dt = 0.8
+    W = irk.irk_weights(q)[0]
+    rng = np.random.default_rng(29)
+    net = mlp.init_mlp(jax.random.PRNGKey(6), layers, jnp.float64)
+    batch = {"x_0": jnp.asarray(rng.uniform(-1, 1, (24, 1))),
+             "u_0": jnp.asarray(rng.standard_normal((24, 1)) * 0.4),
+             "x_bnd": jnp.asarray(np.array([[-1.0], [1.0]]))}
+    loss_dd = dd.make_allencahn_disc_loss_df32(lb, ub, dt, W)
+    l_dd = float(_jit_nofuse(loss_dd, net, batch))
+    l_64 = float(allencahn.loss_disc_inference(
+        net, batch["x_0"], batch["u_0"], batch["x_bnd"],
+        jnp.asarray(lb), jnp.asarray(ub), dt, jnp.asarray(W)))
+    assert abs(l_dd - l_64) / abs(l_64) < 1e-9, (l_dd, l_64)
+    g_dd = _jit_nofuse(jax.grad(loss_dd), net, batch)
+    g_64 = jax.grad(lambda p: allencahn.loss_disc_inference(
+        p, batch["x_0"], batch["u_0"], batch["x_bnd"],
+        jnp.asarray(lb), jnp.asarray(ub), dt, jnp.asarray(W)))(net)
+    gd = jnp.concatenate([x.reshape(-1)
+                          for x in jax.tree_util.tree_leaves(g_dd)])
+    g6 = jnp.concatenate([x.reshape(-1)
+                          for x in jax.tree_util.tree_leaves(g_64)])
+    assert float(jnp.linalg.norm(gd - g6) / jnp.linalg.norm(g6)) < 1e-3
+
+
 def test_ns_ide_loss_df32_matches_f64():
     from pinn.models import mlp
     from pinn.problems import navierstokes as ns
