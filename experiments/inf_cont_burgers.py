@@ -216,9 +216,28 @@ def run(hp=None, plot=False, save_path=None):
                           hp["N_f"] - k, replace=False)
         batch["X_f"] = jnp.asarray(cand[np.concatenate([top, rest])], dtype)
 
+    val_fn = None
+    if hp.get("nt_val_every"):
+        # Label-free held-out validation: the training loss with the
+        # residual term evaluated on an INDEPENDENT LHS draw the
+        # optimizer never sees (data term unchanged — it is the
+        # problem's fixed boundary/IC set, not a sample).  Feeds the
+        # Trainer's best-iterate selection: refinement tails measurably
+        # overfit the fixed collocation draw (logs/df32_ab.log), and
+        # this metric sees that without touching exact-solution labels.
+        rng_v = np.random.RandomState(hp.get("seed", 1234) + 424242)
+        X_f_val = jnp.asarray(
+            data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng_v), dtype)
+        _val = jax.jit(lambda p: burgers.loss_cont_inference(
+            p, X_u, u, X_f_val, lb, ub, nu))
+
+        def val_fn(p):
+            return float(_val(p))
+
     logger = Logger(hp)
     trainer = Trainer(loss_fn, net, batch, hp, logger, mesh=mesh,
-                      resample_fn=resample_fn, adam_loss_fn=adam_loss_fn)
+                      resample_fn=resample_fn, adam_loss_fn=adam_loss_fn,
+                      val_fn=val_fn)
     holder["trainer"] = trainer
 
     def error():

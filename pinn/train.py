@@ -90,12 +90,26 @@ class Trainer:
                  mesh=None, resample_fn: Optional[Callable[[int], Any]] = None,
                  params_callback: Optional[Callable[[Any], None]] = None,
                  adam_loss_fn: Optional[Callable[[Any, Any],
-                                                 jnp.ndarray]] = None):
+                                                 jnp.ndarray]] = None,
+                 val_fn: Optional[Callable[[Any], float]] = None):
         # adam_loss_fn (optional): a cheaper warmup-phase loss — e.g.
         # the bf16-stream fused kernel — optimized during the Adam
         # phase only; L-BFGS always refines against loss_fn (warmup-
         # grade precision must not leak into the quasi-Newton stage).
+        #
+        # val_fn (optional): label-free validation metric
+        # ``val_fn(params) -> float`` (e.g. residual SSE on a held-out
+        # collocation draw), probed every hp["nt_val_every"] L-BFGS
+        # iterations; at phase end the best-scoring iterate is restored.
+        # Motivation (measured, logs/df32_ab.log): refinement tails
+        # overshoot — from one stage-1 checkpoint a 4k df32 tail lands
+        # at 6.73e-4 rel-L2 but 10k lands at 8.30e-4 at the SAME train
+        # loss, i.e. the extra iterations overfit the fixed collocation
+        # draw.  Best-iterate selection converts that from a tuning
+        # hazard into a controlled stop without touching exact-solution
+        # labels.
         self.loss_fn = loss_fn
+        self.val_fn = val_fn
         self.mesh = mesh
         # Called with the current params pytree right before every log
         # line (and at train end) — lets facades/error_fn closures track
@@ -251,6 +265,21 @@ class Trainer:
         done = 0
         resampled_at = -1
 
+        val_every = (int(self.hp.get("nt_val_every", 0) or 0)
+                     if self.val_fn is not None else 0)
+        val_best = None  # (metric, flat iterate, nt_epoch)
+
+        def val_probe(x, it):
+            nonlocal val_best
+            v = float(self.val_fn(to_params(x)))
+            if val_best is None or v < val_best[0]:
+                val_best = (v, x, it)
+
+        if val_every:
+            # The warm-start iterate is a candidate too: a tail that
+            # only overfits must not end worse than it began.
+            val_probe(state.x, 0)
+
         def refresh(i):
             # Fresh collocation draw: the loss surface changed, so
             # restart the quasi-Newton model at the current iterate
@@ -275,14 +304,27 @@ class Trainer:
                 chunk = min(chunk, every - (done % every))
             if self.save_every:
                 chunk = min(chunk, self.save_every - (done % self.save_every))
+            if val_every:
+                chunk = min(chunk, val_every - (done % val_every))
             state, f_hist = run(state, self.batch, chunk)
             done += chunk
             self.params = to_params(state.x)
             self._maybe_save("lbfgs", done)
+            if val_every and done % val_every == 0:
+                val_probe(state.x, done)
             if done % self.frequency == 0:
                 self._log("log_train_epoch", done, float(f_hist[-1]),
                           self._extra(), True)
         self.params = to_params(state.x)
+        if val_every:
+            val_probe(state.x, done)
+            if val_best[1] is not state.x:
+                self.params = to_params(val_best[1])
+                if self.logger is not None:
+                    self.logger._print(
+                        f"-- val select: restored nt_epoch "
+                        f"{val_best[2]} iterate (val {val_best[0]:.4e}) "
+                        f"over final --")
         self.last_lbfgs_state = state
         reason = int(state.reason)
         if reason != lb.RUNNING and self.logger is not None:

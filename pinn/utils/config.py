@@ -53,6 +53,7 @@ KNOWN_KEYS = {
     "tf_resample", "nt_resample", "model_description", "tpu_mesh",
     "fused_residual", "rar_pool", "rar_init", "log_file", "init_seed",
     "nt_dir_impl", "print_loss_terms", "save_every", "net_impl",
+    "nt_val_every",
     # Navier-Stokes dataset selection/geometry
     # (experiments/ide_cont_navierstokes)
     "dataset", "grid_nx", "grid_ny", "grid_nt", "t_max",

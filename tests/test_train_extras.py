@@ -142,6 +142,57 @@ def test_save_every_requires_path():
                 {"tf_epochs": 2, "nt_epochs": 0, "save_every": 1})
 
 
+def test_val_select_restores_best_iterate():
+    """hp["nt_val_every"] + val_fn: the Trainer tracks a label-free
+    validation metric through the L-BFGS tail and restores the
+    best-scoring iterate (tail-overfitting control, logs/df32_ab.log).
+    An adversarial metric minimized at the warm start must win."""
+    params, batch, loss_fn = _quad_setup()
+    leaves0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(params)]
+
+    def val_fn(p):
+        return float(sum(np.linalg.norm(np.asarray(x) - x0)
+                         for x, x0 in zip(jax.tree_util.tree_leaves(p),
+                                          leaves0)))
+
+    hp = {"tf_epochs": 0, "nt_epochs": 20, "nt_val_every": 5,
+          "nt_line_search": "wolfe", "log_frequency": 100}
+    lines = []
+    logger = Logger(hp, print_fn=lines.append)
+    p = Trainer(loss_fn, params, batch, hp, logger, val_fn=val_fn).fit()
+    for got, x0 in zip(jax.tree_util.tree_leaves(p), leaves0):
+        np.testing.assert_allclose(np.asarray(got), x0)
+    assert any("val select" in str(ln) for ln in lines)
+
+
+def test_val_select_keeps_final_when_val_tracks_loss():
+    """With the metric = the training loss, the (monotone) final
+    iterate is best and no restore happens."""
+    params, batch, loss_fn = _quad_setup()
+
+    def val_fn(p):
+        return float(loss_fn(p, batch))
+
+    hp = {"tf_epochs": 0, "nt_epochs": 20, "nt_val_every": 5,
+          "nt_line_search": "wolfe", "log_frequency": 100}
+    lines = []
+    logger = Logger(hp, print_fn=lines.append)
+    tr = Trainer(loss_fn, params, batch, hp, logger, val_fn=val_fn)
+    p = tr.fit()
+    assert float(loss_fn(p, batch)) < float(loss_fn(params, batch))
+    assert not any("val select" in str(ln) for ln in lines)
+
+
+def test_nt_val_every_experiment_wiring():
+    """inf_cont_burgers builds the held-out residual draw when
+    hp["nt_val_every"] is set and the run stays finite."""
+    m = _exp_module()
+    r = m.run({"N_u": 30, "N_f": 400, "layers": [2, 12, 1],
+               "tf_epochs": 10, "nt_epochs": 30, "nt_val_every": 10,
+               "log_frequency": 1000})
+    assert np.isfinite(r["error"])
+
+
 def test_load_burgers_npy_triple(tmp_path):
     """Reference .npy triple loads through the same entry point
     (reference datagen/1d-burgers/datagen_old.py:7-16)."""
