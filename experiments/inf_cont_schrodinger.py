@@ -208,9 +208,27 @@ def run(hp=None, plot=False, save_path=None):
             b["X_f"] = jnp.asarray(X_f_new, dtype)
         return b
 
+    val_fn = None
+    if hp.get("nt_val_every"):
+        # Label-free held-out validation loss for best-iterate selection
+        # (same contract as inf_cont_burgers): residual term on an
+        # independent LHS draw, IC/BC terms unchanged.
+        rng_v = np.random.RandomState(hp.get("seed", 1234) + 424242)
+        bv = dict(batch)
+        bv.pop("f_w", None)
+        bv["X_f"] = jnp.asarray(
+            data.lb + (data.ub - data.lb) * lhs(2, hp["N_f"], rng_v), dtype)
+        _val = jax.jit(lambda p: schrodinger.loss(
+            p, bv["X0"], bv["H0"], bv["X_lb"], bv["X_ub"], bv["X_f"],
+            lb, ub))
+
+        def val_fn(p):
+            return float(_val(p))
+
     trainer = Trainer(loss_fn, net, batch, hp, logger,
                       epoch_extra=epoch_extra, mesh=mesh,
-                      resample_fn=resample_fn, adam_loss_fn=adam_loss_fn)
+                      resample_fn=resample_fn, adam_loss_fn=adam_loss_fn,
+                      val_fn=val_fn)
 
     def error():
         H = np.asarray(predict_h(trainer.params, X_star))
