@@ -117,7 +117,12 @@ class PhysicsInformedNN:
             lambda p, b: self.loss(p, b), self.params, batch, self.hp,
             self.logger,
             epoch_extra=(lambda p: self.epoch_extra(p)),
-            params_callback=lambda p: setattr(self, "params", p))
+            params_callback=lambda p: setattr(self, "params", p),
+            # Optional label-free validation hook: assign a callable
+            # ``model.val_fn = lambda params: float`` and set
+            # hp["nt_val_every"] to enable best-iterate selection over
+            # the L-BFGS tail (see pinn/train.py).
+            val_fn=getattr(self, "val_fn", None))
         self.params = self.trainer.fit()
         return self.params
 
