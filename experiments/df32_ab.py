@@ -66,6 +66,11 @@ TAILS = {
     "df32_4k": [{**DF32, "nt_epochs": 4000}],
     "hy_4k4k": [{**DF32, "nt_epochs": 4000},
                 {**F64, "nt_epochs": 4000}],
+    # Tail overshoot control (nt_val_every, pinn/train.py): same 10k
+    # df32 tail but the returned iterate is the best scorer on a
+    # held-out residual draw — should land at/below the 4k tail's
+    # error without hand-tuning the stop point.
+    "df32_10k_vs": [{**DF32, "nt_epochs": 10000, "nt_val_every": 500}],
     "df32_n30": [{**DF32, "nt_epochs": 10000, "N_f": 30000}],
     "df32_n30_rar": [{**DF32, "nt_epochs": 10000, "N_f": 30000,
                       "rar_init": True, "rar_pool": 200000}],
