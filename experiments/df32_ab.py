@@ -46,14 +46,23 @@ MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000,
          "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000}
 
-# --bf16: stage 1 with the CAMPAIGN warmup arithmetic (bf16 streams in
-# the Adam phase).  The 4.2566e-4 headline's stage 1 is THIS config —
-# it lands in a different basin than the f32-warmup stage 1 above
-# (stage-1 error 7.06e-3 vs 2.77e-3 at the same seed/schedule), so
-# tails must be compared within one basin.  The f64-10k tail from this
-# checkpoint is already measured: 4.2566e-4 (campaign determinism,
-# logs/campaign_p5_fused.log).
+# Stage-1 basins (all deterministic at a seed; tails must be compared
+# within ONE basin).  Forensics from the logged hp + step-0 losses
+# (the bf16 warmup key is popped before logging, so step-0 Adam loss
+# is the fingerprint — f32 streams 3.8490e-1, bf16 3.8662e-1):
+#   f32       f32 warmup + matrix direction (stage-1 err 2.7741e-3);
+#             measured df32 tails: 4k 6.7261e-4, 10k 8.3015e-4,
+#             hybrid 7.8384e-4.  No f64-10k anchor measured.
+#   bf16      bf16 warmup + matrix — the CURRENT campaign default
+#             (stage-1 err 5.0581e-3).  In-basin f64-10k anchor:
+#             5.5984e-4 @ ~2356s tail (logs/campaign_p5_matrix.log).
+#   headline  f32 warmup + SCAN direction, the exact config whose
+#             f64-10k (scan) tail is the 4.2566e-4 headline
+#             (stage-1 err 7.0635e-3, logs/campaign_p5_fused.log).
+#             Tails here drop nt_dir_impl=matrix for basin purity.
 MIXED_BF16 = {**MIXED, "tf_net_dtype": "bfloat16"}
+MIXED_HEADLINE = {k: v for k, v in MIXED.items() if k != "nt_dir_impl"}
+STAGE1 = {"f32": MIXED, "bf16": MIXED_BF16, "headline": MIXED_HEADLINE}
 
 F64 = {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0,
        "log_frequency": 2000, "nt_line_search": "wolfe"}
@@ -83,35 +92,39 @@ def _hp_for_platform(hp: dict) -> dict:
     return hp
 
 
-def stage1_ckpt(seed: int, bf16: bool = False) -> str:
-    tag = "stage1b" if bf16 else "stage1"
+def stage1_ckpt(seed: int, basin: str = "f32") -> str:
+    tag = {"f32": "stage1", "bf16": "stage1b", "headline": "stage1h"}[basin]
     path = os.path.join(LOGS, f"ab_{tag}_seed{seed}.npz")
     if os.path.exists(path):
         print(f"[ab] reusing stage-1 checkpoint {path}", flush=True)
         return path
     t0 = time.time()
-    hp = _hp_for_platform(dict(MIXED_BF16 if bf16 else MIXED,
-                               seed=seed, save_checkpoint=path))
+    hp = _hp_for_platform(dict(STAGE1[basin], seed=seed,
+                               save_checkpoint=path))
     r = exp.run(hp, plot=False)
     print(f"[ab] stage 1 done: error {r['error']:.4e} "
           f"in {time.time() - t0:.1f}s -> {path}", flush=True)
     return path
 
 
-def run_tail(name: str, seed: int, bf16: bool = False) -> dict:
-    ckpt = stage1_ckpt(seed, bf16)
+def run_tail(name: str, seed: int, basin: str = "f32") -> dict:
+    ckpt = stage1_ckpt(seed, basin)
     t0 = time.time()
     stages = TAILS[name]
     result = None
     for i, stage in enumerate(stages):
         hp = dict(stage, seed=seed, init_checkpoint=ckpt)
+        if basin == "headline":
+            # The 4.2566e-4 anchor's tail ran the scan direction.
+            hp.pop("nt_dir_impl", None)
         if i + 1 < len(stages):
             nxt = os.path.join(LOGS, f"ab_chain_{name}_{i}.npz")
             hp["save_checkpoint"] = nxt
         result = exp.run(_hp_for_platform(hp), plot=False)
         if i + 1 < len(stages):
             ckpt = nxt
-    return {"probe": f"AB_{name}" + ("_bf16s1" if bf16 else ""),
+    suffix = {"f32": "", "bf16": "_bf16s1", "headline": "_hls1"}[basin]
+    return {"probe": f"AB_{name}{suffix}",
             "seed": seed, "error": result["error"],
             "tail_duration_s": round(time.time() - t0, 1)}
 
@@ -176,13 +189,18 @@ def main():
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     seeds = [int(a.split("=")[1]) for a in sys.argv[1:]
              if a.startswith("--seed=")] or [1234]
-    bf16 = "--bf16" in sys.argv
+    basin = "f32"
+    if "--bf16" in sys.argv:
+        basin = "bf16"
+    for a in sys.argv[1:]:
+        if a.startswith("--stage1="):
+            basin = a.split("=")[1]
     for seed in seeds:
         for name in names:
             if name == "gradcheck":
                 row = gradcheck(seed)
             else:
-                row = run_tail(name, seed, bf16)
+                row = run_tail(name, seed, basin)
             print("PROBE " + json.dumps(row), flush=True)
 
 
