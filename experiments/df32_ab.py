@@ -80,6 +80,16 @@ TAILS = {
     # held-out residual draw — should land at/below the 4k tail's
     # error without hand-tuning the stop point.
     "df32_10k_vs": [{**DF32, "nt_epochs": 10000, "nt_val_every": 500}],
+    # Tail-resampling variants: every f64/df32 tail so far ran on a
+    # FIXED collocation draw, and the measured failure mode is exactly
+    # fixed-draw overfitting (df32 reaches LOWER train loss than the
+    # in-basin f64 anchor — 2.29e-6 vs 2.48e-6 — yet tests 1.4x worse,
+    # logs/df32_ab_bf16.log vs campaign_p5_matrix.log).  The mixed
+    # stage already resamples every 1k; these extend that to the tail,
+    # optionally with best-iterate selection on top.
+    "df32_10k_rs": [{**DF32, "nt_epochs": 10000, "nt_resample": 1000}],
+    "df32_10k_rsvs": [{**DF32, "nt_epochs": 10000, "nt_resample": 1000,
+                       "nt_val_every": 500}],
     "df32_n30": [{**DF32, "nt_epochs": 10000, "N_f": 30000}],
     "df32_n30_rar": [{**DF32, "nt_epochs": 10000, "N_f": 30000,
                       "rar_init": True, "rar_pool": 200000}],
