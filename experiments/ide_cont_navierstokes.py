@@ -119,8 +119,24 @@ def train_once(hp, dtype, data, noise: float, logger):
         l1, l2 = get_lambdas(p)
         return f"l1 = {l1:5f}  l2 = {l2:8f}"
 
+    val_fn = None
+    if hp.get("nt_val_every"):
+        # Label-free-in-the-identification-sense validation: the same
+        # loss on an independent draw of measured (u, v) samples (same
+        # noise level as training) — the λ targets are never touched.
+        # Feeds the Trainer's best-iterate selection (pinn/train.py).
+        X_v, u_v, v_v = sample_training_set(data, min(hp["N_u"], 5000),
+                                            noise, rng)
+        bv = {"X": jnp.asarray(X_v, dtype), "u": jnp.asarray(u_v, dtype),
+              "v": jnp.asarray(v_v, dtype)}
+        _val = jax.jit(lambda p: ns.loss_identification(
+            p, bv["X"], bv["u"], bv["v"], lb, ub))
+
+        def val_fn(p):
+            return float(_val(p))
+
     trainer = Trainer(loss_fn, params0, batch, hp, logger,
-                      epoch_extra=epoch_extra)
+                      epoch_extra=epoch_extra, val_fn=val_fn)
     logger.set_error_fn(lambda: lambda_error(trainer.params))
     params = trainer.fit()
     maybe_save_params(hp, params, case)
