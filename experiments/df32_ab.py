@@ -90,6 +90,15 @@ TAILS = {
     "df32_10k_rs": [{**DF32, "nt_epochs": 10000, "nt_resample": 1000}],
     "df32_10k_rsvs": [{**DF32, "nt_epochs": 10000, "nt_resample": 1000,
                        "nt_val_every": 500}],
+    # Round-5 follow-ups to the measured rsvs win (4.7880e-4 in the
+    # headline basin): (a) does rs+vs ALSO lift the emulated-f64 tail
+    # past the 4.2566e-4 fixed-draw headline? (b) does a 2x longer
+    # df32 rsvs tail keep digging (resampling removed the overfit
+    # cliff that made long fixed-draw tails regress)?
+    "f64_10k_rsvs": [{**F64, "nt_epochs": 10000, "nt_resample": 1000,
+                      "nt_val_every": 500}],
+    "df32_20k_rsvs": [{**DF32, "nt_epochs": 20000, "nt_resample": 1000,
+                       "nt_val_every": 500}],
     "df32_n30": [{**DF32, "nt_epochs": 10000, "N_f": 30000}],
     "df32_n30_rar": [{**DF32, "nt_epochs": 10000, "N_f": 30000,
                       "rar_init": True, "rar_pool": 200000}],

@@ -72,15 +72,27 @@ CAMPAIGN = {
         {"dtype": "float64", "tf_epochs": 0, "nt_epochs": 6000,
          "log_frequency": 1000},
     ],
+    # Disc-IRK recipes (round 5, probes D1d/D2d in tune_disc.py): mixed
+    # f32/f64vec stage to the f32 SSE floor, then a df32
+    # (compensated-f32, pinn/ops/df32.py) refinement tail — the df32
+    # disc step is ~8x the emulated-f64 step, so the tail runs 1.5-2x
+    # the f64 recipes' iterations inside the same budget.  Measured:
+    # inf_disc 9.8871e-4 (first sub-1e-3, beats the pure-f64 1.0603e-3)
+    # and ide_disc 2.6873e-4 with λ1 err 0.0002% (4x the f64 recipe's
+    # field accuracy) — RESULTS.md D1d/D2d rows, logs/disc_df32.log.
     "inf_disc_burgers": [
-        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 1000, "nt_epochs": 5000,
-         "log_frequency": 1000}],
+        {"nt_vector_dtype": "float64", "nt_dir_impl": "matrix",
+         "tf_epochs": 1000, "nt_epochs": 3000, "log_frequency": 1000},
+        {"dtype": "float64", "net_impl": "df32", "nt_dir_impl": "matrix",
+         "tf_epochs": 0, "nt_epochs": 6000, "log_frequency": 1000}],
     "ide_cont_burgers": [
         {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 1000, "nt_epochs": 10000,
          "log_frequency": 1000}],
     "ide_disc_burgers": [
-        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 1000, "nt_epochs": 10000,
-         "log_frequency": 1000}],
+        {"nt_vector_dtype": "float64", "nt_dir_impl": "matrix",
+         "tf_epochs": 1000, "nt_epochs": 6000, "log_frequency": 1000},
+        {"dtype": "float64", "net_impl": "df32", "nt_dir_impl": "matrix",
+         "tf_epochs": 0, "nt_epochs": 8000, "log_frequency": 1000}],
     # Beyond-reference family (not part of the five parity recipes —
     # excluded from the default name list below).  Measured 3.34e-3
     # rel-L2 at this schedule (RESULTS.md; the paper's discrete AC
@@ -134,9 +146,9 @@ QUICK_OVERRIDES = {"tf_epochs": 50, "nt_epochs": 200, "log_frequency": 50}
 BUDGETS = {
     "inf_cont_burgers": 8e-4,       # headline 5.93e-4 (P5 recipe)
     "inf_cont_schrodinger": 2e-3,   # headline 1.227e-3
-    "inf_disc_burgers": 1.6e-3,     # headline 1.06e-3
+    "inf_disc_burgers": 1.5e-3,     # headline 9.89e-4 (D1d df32 tail)
     "ide_cont_burgers": 6e-3,       # headline 3.79e-3
-    "ide_disc_burgers": 1.6e-3,     # headline 1.06e-3
+    "ide_disc_burgers": 4e-4,       # headline 2.69e-4 (D2d df32 tail)
     "inf_disc_allencahn": 5e-3,     # headline 3.34e-3 (beyond reference)
     "ide_disc_kdv": 5e-4,           # headline 2.56e-4 (beyond reference)
 }

@@ -160,6 +160,23 @@ PROBES = {
          "tf_epochs": 0, "nt_epochs": 10000,
          "log_frequency": 2000, "nt_line_search": "wolfe"},
     ]},
+    # Round-5 flagship candidate: the headline basin (f32 warmup + SCAN
+    # direction, the exact stage-1 whose f64 tail produced the
+    # 4.2566e-4 headline) with a df32 tail + tail resampling +
+    # held-out-residual best-iterate selection.  A/B-measured at
+    # 4.7880e-4 @ 401s stage1 + 888s tail (AB_df32_10k_rsvs_hls1,
+    # RESULTS.md / logs/df32_ab_headline.log) — 1.12x off the f64
+    # headline at 2.07x lower end-to-end wall-clock; this probe runs it
+    # end-to-end as one recipe for a recordable flagship row.
+    "P17": {"stages": [
+        {k: v for k, v in MIXED.items() if k != "nt_dir_impl"}
+        | {"tf_epochs": 1000, "nt_epochs": 15000,
+           "nt_line_search": "wolfe", "nt_resample": 1000},
+        {"dtype": "float64", "net_impl": "df32", "tf_epochs": 0,
+         "nt_epochs": 10000, "log_frequency": 2000,
+         "nt_line_search": "wolfe", "nt_resample": 1000,
+         "nt_val_every": 500},
+    ]},
     # long refinement + resampled big draws (approximates the continuum
     # loss instead of converging into one draw's floor)
     "P7": {"stages": [
