@@ -38,6 +38,16 @@ PROBES = {
     # the compensated-f32 engine, tail 2x A1's at a fraction of the cost
     "A1d": {"stages": [dict(MIXED),
                        {**F64, "net_impl": "df32", "nt_epochs": 10000}]},
+    # Tail-only replay: reuse A1's committed mixed-stage checkpoint
+    # (logs/ac_A1_stage0.npz, the measured 20k mixed iterate) and run a
+    # LONG df32 tail — A1's f64-5k tail landed 5.38e-3 (PARTIAL, target
+    # 3.4e-3) and the 3.34e-3 CPU flagship needed 40k f64 iters with the
+    # loss still descending, so the tail length is the binding lever and
+    # df32's ~8x disc step makes 30k iters cheaper than A1's 5k f64.
+    "A1t": {"stages": [
+        {**F64, "net_impl": "df32", "nt_epochs": 30000,
+         "log_frequency": 2000,
+         "init_checkpoint": os.path.join(LOGS, "ac_A1_stage0.npz")}]},
 }
 
 

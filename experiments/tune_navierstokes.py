@@ -16,6 +16,12 @@ Probe map (measured rows land in RESULTS.md):
   N3   N2 + N_u=10000 (data-size lever)
   N4   mixed-only at N_u=2000 (sweep point, no tail)
   N5   mixed-only at N_u=10000 (sweep point, no tail)
+  N6   capacity probe: width-40 psi-p net (4x the 20-wide default's
+       per-layer FLOPs — free on the MXU), mixed → df32 20k.  At
+       convergence λ is exactly the lstsq solution GIVEN the net
+       (∂loss/∂λ = 0), so the ~3-4% λ1 bias at width 20 must come from
+       the net's field misfit; this probes that mechanism directly.
+  N7   N6 + N_u=10000 (capacity and data together)
 """
 
 from __future__ import annotations
@@ -47,6 +53,14 @@ PROBES = {
     "N4": {"stages": [{**MIXED, "N_u": 2000}]},
     "N5": {"stages": [{**MIXED, "N_u": 10000}]},
 }
+
+WIDE = [3] + [40] * 8 + [2]
+PROBES["N6"] = {"stages": [{**MIXED, "layers": WIDE},
+                           {**DF32_TAIL, "nt_epochs": 20000,
+                            "layers": WIDE}]}
+PROBES["N7"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000},
+                           {**DF32_TAIL, "nt_epochs": 20000,
+                            "layers": WIDE, "N_u": 10000}]}
 
 
 def run_probe(name: str, seed: int) -> dict:
