@@ -86,6 +86,17 @@ def train_once(hp, dtype, data, noise: float, logger):
     batch = {"X": jnp.asarray(X, dtype),
              "u": jnp.asarray(u, dtype),
              "v": jnp.asarray(v, dtype)}
+    X_f = None
+    if hp.get("N_f"):
+        # Separate residual collocation set (round-5 λ-bias lever, see
+        # pinn.problems.navierstokes.loss_identification): data points
+        # plus an LHS draw over the space-time box, so the residual set
+        # is a strict superset of the Raissi-style data-points-only one.
+        from pinn.data import lhs
+        rs = np.random.RandomState(hp.get("seed", 1234) + 7919)
+        draw = data.lb + (data.ub - data.lb) * lhs(3, hp["N_f"], rs)
+        X_f = jnp.asarray(np.vstack([X, draw]), dtype)
+        batch["X_f"] = X_f
 
     net = mlp.init_mlp(key, hp["layers"], dtype)
     params0 = ns.init_ide_params(net, dtype)
@@ -113,7 +124,7 @@ def train_once(hp, dtype, data, noise: float, logger):
     else:
         def loss_fn(p, b):
             return ns.loss_identification(p, b["X"], b["u"], b["v"],
-                                          lb, ub)
+                                          lb, ub, X_f=b.get("X_f"))
 
     def epoch_extra(p):
         l1, l2 = get_lambdas(p)

@@ -22,6 +22,11 @@ Probe map (measured rows land in RESULTS.md):
        (∂loss/∂λ = 0), so the ~3-4% λ1 bias at width 20 must come from
        the net's field misfit; this probes that mechanism directly.
   N7   N6 + N_u=10000 (capacity and data together)
+  N8   residual-collocation probe at width 20: residual on the data
+       points + a 20k LHS draw (hp N_f; pinn.problems.navierstokes
+       loss X_f) — attacks the measured derivative-misfit bias by
+       forcing PDE consistency BETWEEN the data samples (ns_diag.py:
+       noisy runs beat clean ⇒ the net overfits the 5k draw)
 """
 
 from __future__ import annotations
@@ -61,6 +66,9 @@ PROBES["N6"] = {"stages": [{**MIXED, "layers": WIDE},
 PROBES["N7"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000},
                            {**DF32_TAIL, "nt_epochs": 20000,
                             "layers": WIDE, "N_u": 10000}]}
+PROBES["N8"] = {"stages": [{**MIXED, "N_f": 20000},
+                           {**DF32_TAIL, "nt_epochs": 10000,
+                            "N_f": 20000}]}
 
 
 def run_probe(name: str, seed: int) -> dict:

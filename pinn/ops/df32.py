@@ -782,23 +782,29 @@ def make_ns_ide_loss_df32(lb, ub):
     lb64 = np.asarray(lb, np.float64)
     ub64 = np.asarray(ub, np.float64)
 
-    def loss_fn(params, batch):
-        s = ns_taylor_apply_df32(params.net, batch["X"], lb64, ub64)
+    def psi(st: DF) -> DF:
+        return st[:, 0:1]
 
-        def psi(st: DF) -> DF:
-            return st[:, 0:1]
-
+    def residuals(params, X):
+        s = ns_taylor_apply_df32(params.net, X, lb64, ub64)
         u, v = psi(s.y), -psi(s.x)
         u_t, u_x, u_y = psi(s.yt), psi(s.xy), psi(s.yy)
         u_xx, u_yy = psi(s.xxy), psi(s.yyy)
         v_t, v_x, v_y = -psi(s.xt), -psi(s.xx), -psi(s.xy)
         v_xx, v_yy = -psi(s.xxx), -psi(s.xyy)
         p_x, p_y = s.x[:, 1:2], s.y[:, 1:2]
-
         l1 = from_f64(params.lambda1)
         l2 = from_f64(params.lambda2)
         f_u = u_t + l1 * (u * u_x + v * u_y) + p_x - l2 * (u_xx + u_yy)
         f_v = v_t + l1 * (u * v_x + v * v_y) + p_y - l2 * (v_xx + v_yy)
+        return u, v, f_u, f_v
+
+    def loss_fn(params, batch):
+        u, v, f_u, f_v = residuals(params, batch["X"])
+        if batch.get("X_f") is not None:
+            # Separate residual collocation set (mirrors the optional
+            # X_f of pinn.problems.navierstokes.loss_identification).
+            _, _, f_u, f_v = residuals(params, batch["X_f"])
         total = (_mse(from_f64(batch["u"]) - u)
                  + _mse(from_f64(batch["v"]) - v)
                  + _mse(f_u) + _mse(f_v))

@@ -186,12 +186,28 @@ def predict_uvp(net_params, X, lb, ub):
     return u, v, p
 
 
-def loss_identification(params: NSIdeParams, X, u, v, lb, ub):
-    """MSE(u) + MSE(v) + MSE(f_u) + MSE(f_v) at the data points — the
-    Raissi NS loss (velocity data only; no separate collocation set,
-    mirroring the continuous-identification contract of reference
-    1d-burgers/ide_cont_burgers.py)."""
-    u_pred, v_pred, _, f_u, f_v = uvp_and_residual(
-        params.net, X, lb, ub, params.lambda1, params.lambda2)
+def loss_identification(params: NSIdeParams, X, u, v, lb, ub, X_f=None):
+    """MSE(u) + MSE(v) + MSE(f_u) + MSE(f_v) — the Raissi NS loss
+    (velocity data only, residual at the data points; mirroring the
+    continuous-identification contract of reference
+    1d-burgers/ide_cont_burgers.py).
+
+    ``X_f`` (optional) evaluates the momentum residuals on a SEPARATE
+    collocation set instead of the data points.  Rationale (round-5
+    forensics, experiments/ns_diag.py): at convergence λ is exactly the
+    residual lstsq GIVEN the net, and the measured λ1 bias tracks the
+    net's derivative-field misfit *between* the N_u samples — noisy
+    runs beat clean ones because noise suppresses that overfit.  A
+    dense residual draw forces PDE consistency where there is no data,
+    attacking the bias at its source (and feeding the MXU a bigger
+    fused-stream batch per step)."""
+    if X_f is None:
+        u_pred, v_pred, _, f_u, f_v = uvp_and_residual(
+            params.net, X, lb, ub, params.lambda1, params.lambda2)
+    else:
+        u_pred, v_pred, _, _, _ = uvp_and_residual(
+            params.net, X, lb, ub, params.lambda1, params.lambda2)
+        _, _, _, f_u, f_v = uvp_and_residual(
+            params.net, X_f, lb, ub, params.lambda1, params.lambda2)
     return (mse(u - u_pred) + mse(v - v_pred)
             + mse(f_u) + mse(f_v))

@@ -259,3 +259,57 @@ def test_spectral_dns_dt_self_convergence():
     e_mf = np.abs(u_m - u_f).max()
     # 4th order: error ratio ~16 between dt and dt/2 (relaxed to >8).
     assert e_cm / max(e_mf, 1e-16) > 8.0, (e_cm, e_mf)
+
+
+def test_loss_with_separate_collocation_set():
+    """X_f semantics: with X_f == X the loss equals the data-points-only
+    loss exactly; with a disjoint draw the residual term changes but the
+    data terms do not, and gradients flow to the lambdas (round-5
+    residual-collocation lever)."""
+    key = jax.random.PRNGKey(3)
+    net = mlp.init_mlp(key, [3, 8, 8, 2], jnp.float32)
+    params = ns.init_ide_params(net)
+    lb = jnp.array([0.0, 0.0, 0.0])
+    ub = jnp.array([2 * jnp.pi, 2 * jnp.pi, 2.0])
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(lb + (ub - lb) * rng.rand(32, 3), jnp.float32)
+    u = jnp.asarray(rng.rand(32, 1), jnp.float32)
+    v = jnp.asarray(rng.rand(32, 1), jnp.float32)
+
+    base = ns.loss_identification(params, X, u, v, lb, ub)
+    same = ns.loss_identification(params, X, u, v, lb, ub, X_f=X)
+    assert float(jnp.abs(base - same)) == 0.0
+
+    X_f = jnp.asarray(lb + (ub - lb) * rng.rand(64, 3), jnp.float32)
+    other = ns.loss_identification(params, X, u, v, lb, ub, X_f=X_f)
+    assert float(jnp.abs(other - base)) > 0.0
+    g = jax.grad(lambda p: ns.loss_identification(
+        p, X, u, v, lb, ub, X_f=X_f))(params)
+    assert float(jnp.abs(g.lambda1[0])) > 0.0
+    assert float(jnp.abs(g.lambda2[0])) > 0.0
+
+
+def test_df32_ns_loss_with_collocation_matches_f64():
+    """The df32 head's optional batch X_f mirrors the f64 loss."""
+    from pinn.ops.df32 import make_ns_ide_loss_df32
+
+    with jax.enable_x64(True):
+        key = jax.random.PRNGKey(5)
+        net = mlp.init_mlp(key, [3, 8, 8, 2], jnp.float64)
+        params = ns.init_ide_params(net, jnp.float64)
+        params = params._replace(lambda1=jnp.array([0.7], jnp.float64),
+                                 lambda2=jnp.array([0.02], jnp.float64))
+        lbn = np.array([0.0, 0.0, 0.0])
+        ubn = np.array([2 * np.pi, 2 * np.pi, 2.0])
+        rng = np.random.RandomState(1)
+        batch = {"X": jnp.asarray(lbn + (ubn - lbn) * rng.rand(24, 3)),
+                 "u": jnp.asarray(rng.rand(24, 1)),
+                 "v": jnp.asarray(rng.rand(24, 1)),
+                 "X_f": jnp.asarray(lbn + (ubn - lbn) * rng.rand(48, 3))}
+        lb = jnp.asarray(lbn)
+        ub = jnp.asarray(ubn)
+        l_dd = float(make_ns_ide_loss_df32(lbn, ubn)(params, batch))
+        l_64 = float(ns.loss_identification(
+            params, batch["X"], batch["u"], batch["v"], lb, ub,
+            X_f=batch["X_f"]))
+        assert abs(l_dd - l_64) / abs(l_64) < 1e-9
