@@ -119,16 +119,19 @@ CAMPAIGN = {
     # Two stages (round-4 probe, logs/ns_probe_timing + campaign_ns2):
     # the single mixed stage hits the f32 SSE floor with lambda1 still
     # climbing (L-BFGS quits at ~0.92/0.95 "can not make progress",
-    # logs/campaign_ns.log) — the same floor the disc family hit; the
-    # f64 warm-start refinement (the D2 trick) carries lambda1 the rest
-    # of the way.  f64 steps are ~18x the mixed stage's (software f64
-    # on TPU, 13 Taylor streams), so the budget goes: cheap mixed stage
-    # to the floor, then a bounded f64 tail.
+    # logs/campaign_ns.log) — the same floor the disc family hit; a
+    # warm-start refinement tail (the D2 trick) carries lambda1 the
+    # rest of the way.  Round 5 swapped the 8k emulated-f64 tail for a
+    # 30k df32 tail (probe N2, RESULTS.md): lambda1 err 4.25%→2.94%
+    # clean / 2.80%→2.07% noisy at 2,072.6s vs 3,335.8s — better on
+    # both axes because df32 steps are ~5x cheaper than software-f64
+    # on the 13 Taylor streams, buying 3.75x more refine iterations
+    # inside a smaller budget (logs/ns_n2.log).
     "ide_cont_navierstokes": [
         {"nt_vector_dtype": "float64", "nt_dir_impl": "matrix",
          "tf_epochs": 5000, "nt_epochs": 15000, "log_frequency": 1000},
-        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0,
-         "nt_epochs": 8000, "log_frequency": 500}],
+        {"dtype": "float64", "net_impl": "df32", "nt_dir_impl": "matrix",
+         "tf_epochs": 0, "nt_epochs": 30000, "log_frequency": 2000}],
 }
 
 # The reference-parity campaign (default when no names are given).
@@ -151,6 +154,7 @@ BUDGETS = {
     "ide_disc_burgers": 4e-4,       # headline 2.69e-4 (D2d df32 tail)
     "inf_disc_allencahn": 5e-3,     # headline 3.34e-3 (beyond reference)
     "ide_disc_kdv": 5e-4,           # headline 2.56e-4 (beyond reference)
+    "ide_cont_navierstokes": 3.5e-2,  # headline 2.29e-2 (N2 df32-tail recipe)
 }
 
 
@@ -173,6 +177,11 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
             # The fused kernels only pay on the chip; interpret mode
             # (CPU) would be orders of magnitude slower than XLA.
             hp.pop("fused_residual", None)
+            # df32 substitutes for software-emulated f64 on TPU; on
+            # CPU native f64 is faster and more accurate (see the
+            # guard in experiments/inf_cont_burgers.py), and the
+            # 13-stream df32 CPU compile alone takes >10 min.
+            hp.pop("net_impl", None)
         if ckpt:
             hp["init_checkpoint"] = ckpt
         if i + 1 < len(stages):
@@ -195,6 +204,8 @@ def run_one(name: str, quick: bool, f32: bool) -> dict:
     def _stage_desc(h):
         d = h.get("dtype", "f32" + ("/f64vec" if h.get("nt_vector_dtype")
                                     else ""))
+        if h.get("net_impl"):
+            d += f"({h['net_impl']})"
         return ("fused-" + d) if h.get("fused_residual") else d
 
     dtype_desc = "+".join(_stage_desc(h) for h in executed)
