@@ -94,12 +94,16 @@ CAMPAIGN = {
         {"dtype": "float64", "net_impl": "df32", "nt_dir_impl": "matrix",
          "tf_epochs": 0, "nt_epochs": 8000, "log_frequency": 1000}],
     # Beyond-reference family (not part of the five parity recipes —
-    # excluded from the default name list below).  Measured 3.34e-3
-    # rel-L2 at this schedule (RESULTS.md; the paper's discrete AC
-    # result is ~6.99e-3); 10k iters stops early at 1.56e-2.
+    # excluded from the default name list below).  Round-5 recipe
+    # (probes A1 + A1t, RESULTS.md): mixed stage to the f32 SSE floor,
+    # then a 30k df32 tail — measured 2.0599e-3 rel-L2 at ~40 min on
+    # the chip vs 3.3364e-3 at 3.1h for the old single-stage 40k-f64
+    # CPU schedule (the paper's discrete AC result is ~6.99e-3).
     "inf_disc_allencahn": [
-        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 1000, "nt_epochs": 40000,
-         "log_frequency": 2000}],
+        {"nt_vector_dtype": "float64", "nt_dir_impl": "matrix",
+         "tf_epochs": 1000, "nt_epochs": 20000, "log_frequency": 2000},
+        {"dtype": "float64", "net_impl": "df32", "nt_dir_impl": "matrix",
+         "tf_epochs": 0, "nt_epochs": 30000, "log_frequency": 2000}],
     # Beyond-reference family #2: KdV discrete identification (order-3
     # Taylor stream).  Measured 2.56e-4 mean relative lambda error at
     # this schedule (RESULTS.md; clean 0.030%/0.021% vs the paper's
@@ -152,7 +156,7 @@ BUDGETS = {
     "inf_disc_burgers": 1.5e-3,     # headline 9.89e-4 (D1d df32 tail)
     "ide_cont_burgers": 6e-3,       # headline 3.79e-3
     "ide_disc_burgers": 4e-4,       # headline 2.69e-4 (D2d df32 tail)
-    "inf_disc_allencahn": 5e-3,     # headline 3.34e-3 (beyond reference)
+    "inf_disc_allencahn": 3e-3,     # headline 2.06e-3 (A1t df32 tail)
     "ide_disc_kdv": 5e-4,           # headline 2.56e-4 (beyond reference)
     "ide_cont_navierstokes": 3.5e-2,  # headline 2.29e-2 (N2 df32-tail recipe)
 }
