@@ -69,9 +69,18 @@ PROBES["N7"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000},
 PROBES["N8"] = {"stages": [{**MIXED, "N_f": 20000},
                            {**DF32_TAIL, "nt_epochs": 10000,
                             "N_f": 20000}]}
+# N9: every measured λ-bias lever at once — width-40 capacity (N6),
+# N_u=10k data (N5/N7), residual collocation between the samples (N8)
+# — with a 20k df32 tail.  Queued only after N7/N8 report, so the
+# combination is justified by their marginals.
+PROBES["N9"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000,
+                            "N_f": 20000},
+                           {**DF32_TAIL, "nt_epochs": 20000,
+                            "layers": WIDE, "N_u": 10000,
+                            "N_f": 20000}]}
 
 
-def run_probe(name: str, seed: int) -> dict:
+def run_probe(name: str, seed: int, reuse: bool = False) -> dict:
     spec = PROBES[name]
     stages = spec["stages"]
     t0 = time.time()
@@ -84,6 +93,14 @@ def run_probe(name: str, seed: int) -> dict:
         if i + 1 < len(stages):
             ckpt = os.path.join(LOGS, f"ns_{name}_stage{i}.npz")
             hp["save_checkpoint"] = ckpt
+            if (reuse and os.path.exists(ckpt)
+                    and os.path.exists(ckpt[:-4] + "-noisy.npz")):
+                # Timed-out retries skip the already-checkpointed stage
+                # (runs are deterministic, so the saved iterate equals a
+                # replay); duration_s then covers the later stages only
+                # — annotate the RESULTS.md row accordingly.
+                print(f"reusing stage-{i} checkpoint {ckpt}", flush=True)
+                continue
         result = exp.run(hp, plot=False)
     l1, l2 = result["lambdas"]
     l1n, l2n = result["lambdas_noisy"]
@@ -104,9 +121,10 @@ def main():
     names = [a for a in sys.argv[1:] if a in PROBES]
     seeds = [int(a.split("=")[1]) for a in sys.argv[1:]
              if a.startswith("--seed=")] or [1234]
+    reuse = "--reuse" in sys.argv[1:]
     for seed in seeds:
         for name in names:
-            row = run_probe(name, seed)
+            row = run_probe(name, seed, reuse=reuse)
             print("PROBE " + json.dumps(row), flush=True)
 
 
