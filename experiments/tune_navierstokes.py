@@ -69,13 +69,23 @@ PROBES["N7"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000},
 PROBES["N8"] = {"stages": [{**MIXED, "N_f": 20000},
                            {**DF32_TAIL, "nt_epochs": 10000,
                             "N_f": 20000}]}
+# N7s: N7 with the tail cut 20k → 6k.  The first (contended, timed
+# out) N7 run showed the width-40 tail plateaus by ~2k iters
+# (λ1 0.990479 @ 2k → 0.990483 @ 6k, loss flat at 6.42e-6 —
+# logs/ns_n7.log), so 20k buys nothing at ~5x the width-20 tail's
+# per-iter cost; 6k keeps 3x margin past the plateau.
+PROBES["N7s"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000},
+                            {**DF32_TAIL, "nt_epochs": 6000,
+                             "layers": WIDE, "N_u": 10000}]}
 # N9: every measured λ-bias lever at once — width-40 capacity (N6),
 # N_u=10k data (N5/N7), residual collocation between the samples (N8)
-# — with a 20k df32 tail.  Queued only after N7/N8 report, so the
-# combination is justified by their marginals.
+# — with an 8k df32 tail (the width-40 per-iter cost rules out 20k+;
+# N8's tail kept improving to 10k, N7's plateaued by 2k).  Queued only
+# after N7/N8 report, so the combination is justified by their
+# marginals.
 PROBES["N9"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000,
                             "N_f": 20000},
-                           {**DF32_TAIL, "nt_epochs": 20000,
+                           {**DF32_TAIL, "nt_epochs": 8000,
                             "layers": WIDE, "N_u": 10000,
                             "N_f": 20000}]}
 
