@@ -78,14 +78,14 @@ PROBES["N7s"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000},
                             {**DF32_TAIL, "nt_epochs": 6000,
                              "layers": WIDE, "N_u": 10000}]}
 # N9: every measured λ-bias lever at once — width-40 capacity (N6),
-# N_u=10k data (N5/N7), residual collocation between the samples (N8)
-# — with an 8k df32 tail (the width-40 per-iter cost rules out 20k+;
-# N8's tail kept improving to 10k, N7's plateaued by 2k).  Queued only
-# after N7/N8 report, so the combination is justified by their
-# marginals.
-PROBES["N9"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000,
-                            "N_f": 20000},
-                           {**DF32_TAIL, "nt_epochs": 8000,
+# N_u=10k data (N5/N7), residual collocation between the samples (N8).
+# Stage 0 is BIT-IDENTICAL to N7's (copy its checkpoint + --reuse), so
+# the tail is a controlled A/B vs N7s: same basin, + a 20k-LHS X_f
+# collocation set in the df32 tail only.  Tail 5k (width-40 X_f steps
+# are ~0.5 s/iter; N8's collocation tail was still improving at 10k,
+# but capacity should buy earlier convergence as it did for N7).
+PROBES["N9"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000},
+                           {**DF32_TAIL, "nt_epochs": 5000,
                             "layers": WIDE, "N_u": 10000,
                             "N_f": 20000}]}
 
