@@ -125,17 +125,19 @@ CAMPAIGN = {
     # climbing (L-BFGS quits at ~0.92/0.95 "can not make progress",
     # logs/campaign_ns.log) — the same floor the disc family hit; a
     # warm-start refinement tail (the D2 trick) carries lambda1 the
-    # rest of the way.  Round 5 swapped the 8k emulated-f64 tail for a
-    # 30k df32 tail (probe N2, RESULTS.md): lambda1 err 4.25%→2.94%
-    # clean / 2.80%→2.07% noisy at 2,072.6s vs 3,335.8s — better on
-    # both axes because df32 steps are ~5x cheaper than software-f64
-    # on the 13 Taylor streams, buying 3.75x more refine iterations
-    # inside a smaller budget (logs/ns_n2.log).
+    # rest of the way — until probe N7 (round 5, RESULTS.md) showed
+    # capacity x data beats every tail: a width-40 psi-p net (4x the
+    # per-layer MXU FLOPs at ~equal step time — the MXU is
+    # underutilized at width 20) with N_u=10000 reaches lambda1 err
+    # 0.952% clean / 1.031% noisy in the mixed stage ALONE (555s
+    # clean), vs 2.94% for the best width-20 tail recipe (N2, 2,073s).
+    # A df32 tail on top measured ~neutral clean and slightly negative
+    # noisy (N7s row) — so the recipe is the single mixed stage.
     "ide_cont_navierstokes": [
         {"nt_vector_dtype": "float64", "nt_dir_impl": "matrix",
-         "tf_epochs": 5000, "nt_epochs": 15000, "log_frequency": 1000},
-        {"dtype": "float64", "net_impl": "df32", "nt_dir_impl": "matrix",
-         "tf_epochs": 0, "nt_epochs": 30000, "log_frequency": 2000}],
+         "layers": [3, 40, 40, 40, 40, 40, 40, 40, 40, 2],
+         "N_u": 10000,
+         "tf_epochs": 5000, "nt_epochs": 15000, "log_frequency": 1000}],
 }
 
 # The reference-parity campaign (default when no names are given).
@@ -158,7 +160,7 @@ BUDGETS = {
     "ide_disc_burgers": 4e-4,       # headline 2.69e-4 (D2d df32 tail)
     "inf_disc_allencahn": 3e-3,     # headline 2.06e-3 (A1t df32 tail)
     "ide_disc_kdv": 5e-4,           # headline 2.56e-4 (beyond reference)
-    "ide_cont_navierstokes": 3.5e-2,  # headline 2.29e-2 (N2 df32-tail recipe)
+    "ide_cont_navierstokes": 1e-2,  # headline 6.71e-3 mean-λ (N7 wide recipe)
 }
 
 
