@@ -88,6 +88,16 @@ PROBES["N9"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000},
                            {**DF32_TAIL, "nt_epochs": 5000,
                             "layers": WIDE, "N_u": 10000,
                             "N_f": 20000}]}
+# N10/N11: cheap mixed-only extensions of the measured capacity x data
+# lever after N7 stage 0 landed λ1 0.952%/1.031% with NO tail (tails
+# measured exhausted — N7s row).  N10 doubles the data again
+# (N5→N7 halved the error twice along this axis); N11 keeps N_u=10k
+# and instead adds a 20k-LHS residual collocation set to the MIXED
+# stage — PDE consistency between the samples where the optimizer
+# actually moves, not in a post-hoc tail.
+PROBES["N10"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 20000}]}
+PROBES["N11"] = {"stages": [{**MIXED, "layers": WIDE, "N_u": 10000,
+                             "N_f": 20000}]}
 
 
 def run_probe(name: str, seed: int, reuse: bool = False) -> dict:
