@@ -97,6 +97,13 @@ TAILS = {
     # cliff that made long fixed-draw tails regress)?
     "f64_10k_rsvs": [{**F64, "nt_epochs": 10000, "nt_resample": 1000,
                       "nt_val_every": 500}],
+    # f64_10k_rsvs measured NEGATIVE (1.1950e-3 — resampling thrashes
+    # the deterministic f64 tail's curvature model).  Val-select ALONE
+    # is trajectory-neutral (pure observation, pinn/train.py:272-281):
+    # in the headline basin this probe retraces the exact 4.2566e-4
+    # f64-10k trajectory and can only restore an iterate with lower
+    # held-out residual — an almost-free option on the error floor.
+    "f64_10k_vs": [{**F64, "nt_epochs": 10000, "nt_val_every": 500}],
     "df32_20k_rsvs": [{**DF32, "nt_epochs": 20000, "nt_resample": 1000,
                        "nt_val_every": 500}],
     "df32_n30": [{**DF32, "nt_epochs": 10000, "N_f": 30000}],
