@@ -78,16 +78,20 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 F32_HIGHEST_PASSES = 6.0  # f32 "highest" = 6 bf16 MXU passes
 
 
-def flops_per_point(layers) -> float:
-    return 24.0 * sum(a * b for a, b in zip(layers[:-1], layers[1:]))
+def flops_per_point(layers, passes: float = 4.0) -> float:
+    # ``passes`` = matmul-equivalent forward passes per point (value +
+    # Taylor streams); x3 for fwd+bwd and x2 flops per MAC.
+    return 6.0 * passes * sum(a * b for a, b in zip(layers[:-1],
+                                                    layers[1:]))
 
 
-def flops_fields(prefix: str, sps: float, n_pts: int, layers) -> dict:
+def flops_fields(prefix: str, sps: float, n_pts: int, layers,
+                 passes: float = 4.0) -> dict:
     """Achieved-FLOPs floor + share of the f32-highest MXU roofline
     (VERDICT r4 item 6: bench should report an achieved-FLOPs estimate;
     MFU is intrinsically low for 20-100-wide MLPs — the % quantifies
     that honestly rather than hiding it)."""
-    fps = flops_per_point(layers) * n_pts
+    fps = flops_per_point(layers, passes) * n_pts
     tflops = sps * fps / 1e12
     ceiling = V5E_BF16_PEAK_TFLOPS / F32_HIGHEST_PASSES
     return {f"{prefix}flops_per_step_est": round(fps, 0),
@@ -453,6 +457,48 @@ def main():
             log(f"disc-irk section unavailable: {type(e).__name__}: {e}")
     else:
         log(f"skipping disc-irk section ({remaining():.0f}s budget left)")
+
+    # --- Family metric #4: 2D Navier-Stokes identification throughput
+    # (beyond-reference family; campaign recipe shape from probe N7:
+    # width-40 psi-p net, N_u=10,000 velocity samples, lambdas trained
+    # jointly).  The 13-stream Faa-di-Bruno forward is 14
+    # matmul-equivalent passes per point (value + 13 Taylor streams),
+    # so the FLOPs estimate uses passes=14.
+    if remaining() > 70:
+        try:
+            from pinn.problems import navierstokes as nsprob
+            layers_ns = [3] + [40] * 8 + [2]
+            n_u_ns = 2000 if smoke else 10000
+            p_net = mlp.init_mlp(jax.random.PRNGKey(11), layers_ns, dtype)
+            p_ns = nsprob.NSIdeParams(
+                net=p_net, lambda1=jnp.zeros((1,), dtype),
+                lambda2=jnp.zeros((1,), dtype))
+            lb_ns = jnp.array([0.0, 0.0, 0.0], dtype)
+            ub_ns = jnp.array([2 * np.pi, 2 * np.pi, 2.0], dtype)
+            b_ns = {"X": jnp.asarray(
+                        np.asarray(lb_ns) + (np.asarray(ub_ns)
+                                             - np.asarray(lb_ns))
+                        * rng.rand(n_u_ns, 3), dtype),
+                    "u": jnp.asarray(rng.rand(n_u_ns, 1), dtype),
+                    "v": jnp.asarray(rng.rand(n_u_ns, 1), dtype)}
+
+            def ns_loss(p, b):
+                return nsprob.loss_identification(p, b["X"], b["u"],
+                                                  b["v"], lb_ns, ub_ns)
+
+            ns_sps = time_adam(ns_loss, "navierstokes-w40", p0=p_ns,
+                               b0=b_ns, lr=0.001)
+            record["ns_train_steps_per_sec"] = round(ns_sps, 2)
+            record["ns_n_u"] = n_u_ns
+            record.update(flops_fields("ns_", ns_sps, n_u_ns, layers_ns,
+                                       passes=14.0))
+            emit(record)
+        except Exception as e:  # pragma: no cover
+            log(f"navier-stokes section unavailable: "
+                f"{type(e).__name__}: {e}")
+    else:
+        log(f"skipping navier-stokes section "
+            f"({remaining():.0f}s budget left)")
 
     # --- Optional: bf16-stream fused variant. Warmup-grade precision
     # (~3 decimal digits on the residual), so it is reported as an
