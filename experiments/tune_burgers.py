@@ -177,6 +177,36 @@ PROBES = {
          "nt_line_search": "wolfe", "nt_resample": 1000,
          "nt_val_every": 500},
     ]},
+    # Round-5 capacity probe: P17's recipe at WIDTH 40 (8 hidden
+    # layers of 40 vs the paper's 20).  Motivated by the measured NS
+    # result (N7, RESULTS.md): width-40 quadruples per-layer MXU FLOPs
+    # at ~equal step time (the MXU is underutilized at width 20) and
+    # reached in the mixed stage alone what width-20 never reached at
+    # any tail length.  A/B question: does capacity beat the 4.2566e-4
+    # width-20 error floor on the Burgers flagship?
+    "P18": {"stages": [
+        {k: v for k, v in MIXED.items() if k != "nt_dir_impl"}
+        | {"tf_epochs": 1000, "nt_epochs": 15000,
+           "nt_line_search": "wolfe", "nt_resample": 1000,
+           "layers": [2] + [40] * 8 + [1]},
+        {"dtype": "float64", "net_impl": "df32", "tf_epochs": 0,
+         "nt_epochs": 10000, "log_frequency": 2000,
+         "nt_line_search": "wolfe", "nt_resample": 1000,
+         "nt_val_every": 500, "layers": [2] + [40] * 8 + [1]},
+    ]},
+    # P18 fallback with the fused Pallas kernel disabled (XLA mixed
+    # stage) in case Mosaic rejects the untested width-40 lowering.
+    "P18x": {"stages": [
+        {k: v for k, v in MIXED.items()
+         if k not in ("nt_dir_impl", "fused_residual")}
+        | {"tf_epochs": 1000, "nt_epochs": 15000,
+           "nt_line_search": "wolfe", "nt_resample": 1000,
+           "layers": [2] + [40] * 8 + [1]},
+        {"dtype": "float64", "net_impl": "df32", "tf_epochs": 0,
+         "nt_epochs": 10000, "log_frequency": 2000,
+         "nt_line_search": "wolfe", "nt_resample": 1000,
+         "nt_val_every": 500, "layers": [2] + [40] * 8 + [1]},
+    ]},
     # long refinement + resampled big draws (approximates the continuum
     # loss instead of converging into one draw's floor)
     "P7": {"stages": [
