@@ -48,14 +48,24 @@ MIXED = {"nt_vector_dtype": "float64", "log_frequency": 2000,
          "nt_dir_impl": "matrix"}
 CAMPAIGN = {
     "inf_cont_burgers": [
-        # Measured 5.93e-4 rel-L2 at seed 1234 (beats the paper's
-        # ~6.7e-4): weak-Wolfe line search + periodic collocation
-        # redraws in the mixed stage, then a long fixed-draw f64
-        # refinement (probe P5, experiments/tune_burgers.py).
-        {**MIXED, "tf_epochs": 1000, "nt_epochs": 15000,
+        # Round-5 flagship recipe (probe P17, measured twice at
+        # 4.7880e-4 rel-L2 / ≤1,352s end-to-end — identical digits,
+        # determinism contract; RESULTS.md p17/p17b rows): f32-warmup
+        # fused mixed stage with the SCAN direction (the headline
+        # basin), then a df32 refinement tail with collocation
+        # resampling + held-out-residual best-iterate selection.
+        # Strictly better than the previous campaign recipe (bf16+
+        # matrix P5: 5.5984e-4 @ ~3,000s in its basin) on BOTH axes;
+        # the fixed-draw f64 tail remains the error floor (4.2566e-4
+        # @ 2,667s) for when wall-clock doesn't matter.
+        {"nt_vector_dtype": "float64", "log_frequency": 2000,
+         "fused_residual": True,
+         "tf_epochs": 1000, "nt_epochs": 15000,
          "nt_line_search": "wolfe", "nt_resample": 1000},
-        {"dtype": "float64", "nt_dir_impl": "matrix", "tf_epochs": 0, "nt_epochs": 10000,
-         "log_frequency": 2000, "nt_line_search": "wolfe"},
+        {"dtype": "float64", "net_impl": "df32", "tf_epochs": 0,
+         "nt_epochs": 10000, "log_frequency": 2000,
+         "nt_line_search": "wolfe", "nt_resample": 1000,
+         "nt_val_every": 500},
     ],
     # Schrödinger deliberately keeps the round-3 recipe (XLA mixed
     # stage, f32 warmup, scan direction): the fused+bf16+matrix
@@ -153,7 +163,7 @@ QUICK_OVERRIDES = {"tf_epochs": 50, "nt_epochs": 200, "log_frequency": 50}
 # ide_* budgets are on the mean relative lambda error, the experiments'
 # error metric (reference ide_cont_burgers.py:187-192).
 BUDGETS = {
-    "inf_cont_burgers": 8e-4,       # headline 5.93e-4 (P5 recipe)
+    "inf_cont_burgers": 7e-4,       # headline 4.79e-4 (P17 df32-rsvs recipe)
     "inf_cont_schrodinger": 2e-3,   # headline 1.227e-3
     "inf_disc_burgers": 1.5e-3,     # headline 9.89e-4 (D1d df32 tail)
     "ide_cont_burgers": 6e-3,       # headline 3.79e-3
