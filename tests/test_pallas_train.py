@@ -103,6 +103,9 @@ def test_experiment_fused_residual_hp_matches_xla_path():
     ([2, 20, 20, 20, 1], 32, 300),   # ragged tail: padding w=0 path
     ([2, 20, 20, 20, 20, 20, 20, 20, 20, 1], 100, 2048),
     ([2, 16, 1], 7, 1017),           # data+collocation straddle a tile
+    # width-40 flagship capacity variant (probe P18): the kernel must
+    # stay width-generic past the paper's 20.
+    ([2, 40, 40, 40, 40, 40, 40, 40, 40, 1], 100, 1024),
 ])
 def test_combined_train_loss_and_grad_match_oracle(layers, n_u, n_f):
     """The single-launch combined kernel (data term folded into the
