@@ -44,8 +44,8 @@ def _experiment_precision():
     jax.config.update("jax_default_matmul_precision", None)
 
 
-def _burgers_setup(n_f=2048, n_u=96, seed=0):
-    layers = [2, 20, 20, 20, 20, 1]
+def _burgers_setup(n_f=2048, n_u=96, seed=0, layers=None):
+    layers = layers or [2, 20, 20, 20, 20, 1]
     params = mlp.init_mlp(jax.random.PRNGKey(seed), layers, jnp.float32)
     lb = np.array([-1.0, 0.0], np.float32)
     ub = np.array([1.0, 1.0], np.float32)
@@ -85,6 +85,22 @@ def test_burgers_fused_compiles_on_tpu(stream):
         g1, g2 = _flat(g), _flat(wg)
         cos = float(g1 @ g2 / (np.linalg.norm(g1) * np.linalg.norm(g2)))
         assert cos > 0.999, cos
+
+
+def test_burgers_fused_width40_compiles_on_tpu():
+    """Probe-P18 capacity variant: the fused kernel's first real
+    Mosaic lowering past width 20.  The interpret-mode width-40 case
+    in test_pallas_train.py validates the math; this validates the
+    lowering on the chip (lane dim 40 is not a multiple of the 128
+    VPU lane width — padding path)."""
+    _, params, lb, ub, batch, oracle = _burgers_setup(
+        layers=[2] + [40] * 8 + [1])
+    loss = make_burgers_loss(lb, ub, NU)
+    v, g = jax.jit(jax.value_and_grad(loss))(params, batch)
+    wv, wg = jax.jit(jax.value_and_grad(oracle))(params, batch)
+    jax.block_until_ready(v)
+    np.testing.assert_allclose(float(v), float(wv), rtol=1e-4)
+    np.testing.assert_allclose(_flat(g), _flat(wg), rtol=1e-3, atol=1e-5)
 
 
 def _schro_setup(n_f=2048, seed=0):
