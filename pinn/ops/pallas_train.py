@@ -94,6 +94,30 @@ def _x64_safe_jit(**jit_kw):
 TILE = 1024
 
 
+def _tile_for(wt_args) -> int:
+    """Point-tile size that keeps the kernel's Mosaic scoped-VMEM
+    footprint at or below the proven flagship point.
+
+    The VMEM stack scales ~linearly in width x n_hidden x tile: the
+    width-20 x 8-hidden flagship compiles at TILE=1024 (~14.4 MB of the
+    16 MB scoped limit), while width-40 x 8-hidden at 1024 was measured
+    OOM at 28.83 MB on v5e (logs/tpu_tier_r5c.log, probe-P18 de-risk).
+    Halving the tile until width x n_hidden x tile <= 20 x 8 x 1024
+    holds the footprint at the proven level; the grid gets
+    correspondingly longer (same FLOPs, same accumulators, identical
+    results — the tile is a pure scheduling choice).
+    """
+    n_layers = len(wt_args) // 2
+    n_hidden = n_layers - 1
+    if n_hidden < 1:
+        return TILE
+    width = max(wt_args[2 * l].shape[0] for l in range(n_hidden))
+    t = TILE
+    while width * n_hidden * t > 20 * 8 * TILE and t > 128:
+        t //= 2
+    return t
+
+
 def _dot(a, b):
     """MXU dot with f32 accumulation and dtype-appropriate precision.
 
@@ -358,13 +382,14 @@ def _pad_points(a0, n, T):
 def _sse_fwd_call(wt_args, a0p, z1row, z2row, nu, n_real, interpret=False):
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
-    kernel = functools.partial(_fwd_kernel, n_layers - 1, nu, n_real, TILE)
+    T = _tile_for(wt_args)
+    kernel = functools.partial(_fwd_kernel, n_layers - 1, nu, n_real, T)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
     sse = pl.pallas_call(
         kernel,
-        grid=(n_total // TILE,),
+        grid=(n_total // T,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
+            pl.BlockSpec((a0p.shape[0], T), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -383,7 +408,8 @@ def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, nu, n_real,
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
     n_hidden = n_layers - 1
-    kernel = _make_fwd_bwd_kernel(n_hidden, nu, n_real, TILE)
+    T = _tile_for(wt_args)
+    kernel = _make_fwd_bwd_kernel(n_hidden, nu, n_real, T)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
 
     out_shapes = [jax.ShapeDtypeStruct((1, 1), a0p.dtype)]       # sse
@@ -398,14 +424,14 @@ def _sse_fwd_bwd_call(wt_args, a0p, z1row, z2row, nu, n_real,
         out_specs.append(pl.BlockSpec(zrow.shape, _map_whole,
                                       memory_space=pltpu.VMEM))
 
-    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), a0p.dtype)
+    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * T), a0p.dtype)
                for l in range(n_hidden)]
 
     outs = pl.pallas_call(
         kernel,
-        grid=(n_total // TILE,),
+        grid=(n_total // T,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
+            pl.BlockSpec((a0p.shape[0], T), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -439,7 +465,7 @@ def make_burgers_sse(lb, ub, nu: float, interpret: bool = False):
         dtype = X_f.dtype
         a0, z1row, z2row, wt_args, _, _ = _prep(params, X_f, lb_arr,
                                                 ub_arr, dtype)
-        a0p, _ = _pad_points(a0, X_f.shape[0], TILE)
+        a0p, _ = _pad_points(a0, X_f.shape[0], _tile_for(wt_args))
         return _sse_fwd_call(tuple(wt_args), a0p, z1row, z2row, nu,
                              X_f.shape[0], interpret=interpret)
 
@@ -451,7 +477,7 @@ def make_burgers_sse(lb, ub, nu: float, interpret: bool = False):
         dtype = X_f.dtype
         a0, z1row, z2row, wt_args, vx, vt = _prep(params, X_f, lb_arr,
                                                   ub_arr, dtype)
-        a0p, _ = _pad_points(a0, X_f.shape[0], TILE)
+        a0p, _ = _pad_points(a0, X_f.shape[0], _tile_for(wt_args))
         _, gwt, gz1row, gz2row = _sse_fwd_bwd_call(
             tuple(wt_args), a0p, z1row, z2row, nu, X_f.shape[0],
             interpret=interpret)
@@ -586,16 +612,17 @@ def _train_loss_call(wt_args, a0p, auxp, z1row, z2row, nu,
     sdt = jnp.dtype(sdt_name)
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
-    kernel = functools.partial(_fwd_train_kernel, n_layers - 1, nu, TILE,
+    T = _tile_for(wt_args)
+    kernel = functools.partial(_fwd_train_kernel, n_layers - 1, nu, T,
                                sdt)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
     out = pl.pallas_call(
         kernel,
-        grid=(n_total // TILE,),
+        grid=(n_total // T,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
+            pl.BlockSpec((a0p.shape[0], T), _map_tile,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), _map_tile,
+            pl.BlockSpec((3, T), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -615,7 +642,8 @@ def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
     n_hidden = n_layers - 1
-    kernel = _make_train_kernel(n_hidden, nu, TILE, sdt=sdt)
+    T = _tile_for(wt_args)
+    kernel = _make_train_kernel(n_hidden, nu, T, sdt=sdt)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
 
     # Loss and every gradient accumulate in f32 regardless of sdt.
@@ -631,16 +659,16 @@ def _train_loss_grad_call(wt_args, a0p, auxp, z1row, z2row, nu,
         out_specs.append(pl.BlockSpec(zrow.shape, _map_whole,
                                       memory_space=pltpu.VMEM))
 
-    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), sdt)
+    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * T), sdt)
                for l in range(n_hidden)]
 
     outs = pl.pallas_call(
         kernel,
-        grid=(n_total // TILE,),
+        grid=(n_total // T,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
+            pl.BlockSpec((a0p.shape[0], T), _map_tile,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), _map_tile,
+            pl.BlockSpec((3, T), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -713,7 +741,7 @@ def make_burgers_loss(lb, ub, nu: float, interpret: bool = False,
         a0, z1row, z2row, wt_args, vx, vt = _prep(params, X, lb_arr,
                                                   ub_arr, dtype)
         n = X.shape[0]
-        a0p, n_tot = _pad_points(a0, n, TILE)
+        a0p, n_tot = _pad_points(a0, n, _tile_for(wt_args))
         if n_tot != n:  # padding: w=0 kills both loss and grads
             aux = jnp.pad(aux, ((0, 0), (0, n_tot - n)))
         sdt = jnp.dtype(sdt_name)
@@ -916,15 +944,16 @@ def _ide_loss_call(wt_args, a0p, auxp, lam, z1row, z2row,
     sdt = jnp.dtype(sdt_name)
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
-    kernel = functools.partial(_fwd_ide_kernel, n_layers - 1, TILE, sdt)
+    T = _tile_for(wt_args)
+    kernel = functools.partial(_fwd_ide_kernel, n_layers - 1, T, sdt)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
     out = pl.pallas_call(
         kernel,
-        grid=(n_total // TILE,),
+        grid=(n_total // T,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
+            pl.BlockSpec((a0p.shape[0], T), _map_tile,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), _map_tile,
+            pl.BlockSpec((3, T), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -945,7 +974,8 @@ def _ide_loss_grad_call(wt_args, a0p, auxp, lam, z1row, z2row,
     n_total = a0p.shape[1]
     n_layers = len(wt_args) // 2
     n_hidden = n_layers - 1
-    kernel = _make_ide_kernel(n_hidden, TILE, sdt=sdt)
+    T = _tile_for(wt_args)
+    kernel = _make_ide_kernel(n_hidden, T, sdt=sdt)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wt_args)
 
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
@@ -963,16 +993,16 @@ def _ide_loss_grad_call(wt_args, a0p, auxp, lam, z1row, z2row,
     out_specs.append(pl.BlockSpec((1, 2), _map_whole,
                                   memory_space=pltpu.SMEM))
 
-    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * TILE), sdt)
+    scratch = [pltpu.VMEM((wt_args[2 * l].shape[0], 4 * T), sdt)
                for l in range(n_hidden)]
 
     outs = pl.pallas_call(
         kernel,
-        grid=(n_total // TILE,),
+        grid=(n_total // T,),
         in_specs=[
-            pl.BlockSpec((a0p.shape[0], TILE), _map_tile,
+            pl.BlockSpec((a0p.shape[0], T), _map_tile,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), _map_tile,
+            pl.BlockSpec((3, T), _map_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1017,7 +1047,7 @@ def make_burgers_ide_loss(lb, ub, interpret: bool = False,
         aux = jnp.stack([u[:, 0], w, w])     # (3, N): target, w_d, w_f
         a0, z1row, z2row, wt_args, vx, vt = _prep(params.net, X, lb_arr,
                                                   ub_arr, dtype)
-        a0p, n_tot = _pad_points(a0, n, TILE)
+        a0p, n_tot = _pad_points(a0, n, _tile_for(wt_args))
         if n_tot != n:  # padding: w_d = w_f = 0 kills loss and grads
             aux = jnp.pad(aux, ((0, 0), (0, n_tot - n)))
         lam = jnp.stack([params.lambda1[0],
